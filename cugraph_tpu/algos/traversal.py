@@ -1,0 +1,200 @@
+"""Traversal: BFS, SSSP, BFS path extraction, two-hop neighbors.
+
+ref: cpp/src/traversal/bfs_impl.cuh (depth loop :205-283),
+sssp_impl.cuh (near/far delta-stepping), extract_bfs_paths_impl.cuh.
+
+TPU-native: dense-mask frontiers inside a single lax.while_loop (see
+prims/frontier.py for the rationale); the reference pays a host allreduce
+per level (vertex_frontier.cuh aggregate_size), we pay none. SSSP uses
+frontier-driven Bellman-Ford relaxation rather than delta-stepping: the
+near/far bucket split exists to bound ragged frontier sizes on GPUs, while
+the dense-mask formulation already touches all edges per round, so the
+bucket machinery would add nothing on TPU.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.csr import Graph
+from ..prims.frontier import transform_reduce_v_frontier_outgoing_e_by_dst
+from ..prims.reduce_ops import ANY, MINIMUM
+from ..utils.dtypes import WEIGHT_DTYPE
+
+INVALID_DISTANCE = jnp.iinfo(jnp.int32).max  # ref: unreachable = INT_MAX
+INVALID_VERTEX = -1  # ref: no predecessor = invalid vertex id
+
+
+def _as_source_mask(g: Graph, sources) -> jax.Array:
+    sources = jnp.atleast_1d(jnp.asarray(sources, dtype=jnp.int32))
+    return jnp.zeros(g.num_vertices, dtype=bool).at[sources].set(True)
+
+
+@partial(jax.jit, static_argnames=("depth_limit",))
+def _bfs_jit(g: Graph, src_mask: jax.Array, depth_limit: int):
+    v = g.num_vertices
+    dist0 = jnp.where(src_mask, 0, INVALID_DISTANCE).astype(jnp.int32)
+    pred0 = jnp.full(v, INVALID_VERTEX, dtype=jnp.int32)
+
+    def e_op(s, d, sv, dv, w):
+        # sv = visited flag of src is implicit (frontier mask); dv = visited[dst]
+        keep = ~dv
+        return keep, s  # payload: predecessor candidate (ANY -> min src)
+
+    def cond(state):
+        visited, dist, pred, frontier, depth = state
+        return jnp.any(frontier) & (depth < depth_limit)
+
+    def body(state):
+        visited, dist, pred, frontier, depth = state
+        touched, pred_cand = transform_reduce_v_frontier_outgoing_e_by_dst(
+            g, frontier, e_op, reduce_op=ANY, dst_values=visited
+        )
+        new = touched & ~visited
+        dist = jnp.where(new, depth + 1, dist)
+        pred = jnp.where(new, pred_cand, pred)
+        visited = visited | new
+        return visited, dist, pred, new, depth + 1
+
+    visited, dist, pred, _, _ = jax.lax.while_loop(
+        cond, body, (src_mask, dist0, pred0, src_mask, jnp.int32(0))
+    )
+    return dist, pred
+
+
+def bfs(
+    g: Graph,
+    sources,
+    depth_limit: Optional[int] = None,
+    direction_optimizing: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Multi-source BFS. Returns (distances, predecessors); unreachable
+    vertices get INVALID_DISTANCE / predecessor -1 (ref bfs_impl.cuh).
+
+    direction_optimizing is accepted for API parity; the dense-mask push is
+    already edge-complete per level so the pull switch is a no-op here (the
+    reference's flag is unimplemented too, bfs_impl.cuh:206).
+    """
+    del direction_optimizing
+    src_mask = _as_source_mask(g, sources)
+    limit = int(depth_limit) if depth_limit is not None else g.num_vertices
+    return _bfs_jit(g, src_mask, limit)
+
+
+@partial(jax.jit, static_argnames=())
+def _sssp_jit(g: Graph, src_mask: jax.Array, cutoff):
+    v = g.num_vertices
+    inf = jnp.asarray(jnp.inf, WEIGHT_DTYPE)
+    dist0 = jnp.where(src_mask, 0.0, inf).astype(WEIGHT_DTYPE)
+    pred0 = jnp.full(v, INVALID_VERTEX, dtype=jnp.int32)
+
+    def relax_op(s, d, sv, dv, w):
+        wval = w if w is not None else jnp.ones_like(sv)
+        cand = sv + wval
+        keep = (cand < dv) & (cand <= cutoff)
+        return keep, cand
+
+    def cond(state):
+        dist, pred, frontier, it = state
+        return jnp.any(frontier) & (it < v)
+
+    def body(state):
+        dist, pred, frontier, it = state
+        touched, cand = transform_reduce_v_frontier_outgoing_e_by_dst(
+            g, frontier, relax_op, reduce_op=MINIMUM, src_values=dist, dst_values=dist
+        )
+        improved = touched & (cand < dist)
+        new_dist = jnp.where(improved, cand, dist)
+        # second pass: predecessor = min src among edges achieving the new dist
+        def pred_op(s, d, sv, dv, w):
+            wval = w if w is not None else jnp.ones_like(sv)
+            keep = improved_d(d) & (sv + wval == dv)
+            return keep, s
+
+        def improved_d(d):
+            return jnp.take(improved, d)
+
+        _, pred_cand = transform_reduce_v_frontier_outgoing_e_by_dst(
+            g, frontier, pred_op, reduce_op=ANY, src_values=dist, dst_values=new_dist
+        )
+        pred = jnp.where(improved, pred_cand, pred)
+        return new_dist, pred, improved, it + 1
+
+    dist, pred, _, _ = jax.lax.while_loop(
+        cond, body, (dist0, pred0, src_mask, jnp.int32(0))
+    )
+    return dist, pred
+
+
+def sssp(
+    g: Graph, source, cutoff: Optional[float] = None
+) -> Tuple[jax.Array, jax.Array]:
+    """Single-source shortest paths (non-negative weights).
+
+    Returns (distances, predecessors); unreachable = +inf / -1.
+    ref: sssp_impl.cuh (cutoff supported)."""
+    src_mask = _as_source_mask(g, source)
+    c = jnp.asarray(cutoff if cutoff is not None else jnp.inf, WEIGHT_DTYPE)
+    return _sssp_jit(g, src_mask, c)
+
+
+@partial(jax.jit, static_argnames=("max_path_length",))
+def _extract_paths_jit(predecessors, distances, destinations, max_path_length: int):
+    n = destinations.shape[0]
+
+    def step(carry, _):
+        cur = carry
+        nxt = jnp.where(
+            cur >= 0, jnp.take(predecessors, jnp.maximum(cur, 0)), INVALID_VERTEX
+        )
+        return nxt, cur
+
+    _, path_rev = jax.lax.scan(
+        step, destinations.astype(jnp.int32), None, length=max_path_length
+    )
+    # path_rev[i] = vertex i hops back from destination; flip to source-first
+    paths = jnp.flip(path_rev.T, axis=1)  # (n, max_path_length)
+    return paths
+
+
+def extract_bfs_paths(
+    g: Graph, distances: jax.Array, predecessors: jax.Array, destinations
+) -> Tuple[jax.Array, int]:
+    """Reconstruct source->destination paths from a BFS/SSSP result.
+
+    Returns (paths (n, max_path_length) int32 padded with -1 at the front,
+    max_path_length). ref: extract_bfs_paths_impl.cuh."""
+    destinations = jnp.atleast_1d(jnp.asarray(destinations, dtype=jnp.int32))
+    d = jnp.take(distances, destinations)
+    finite = (d != INVALID_DISTANCE) & jnp.isfinite(d.astype(jnp.float32))
+    max_len = int(jnp.max(jnp.where(finite, d, 0))) + 1
+    paths = _extract_paths_jit(predecessors, distances, destinations, max_len)
+    return paths, max_len
+
+
+def two_hop_neighbors(g: Graph) -> Tuple[jax.Array, jax.Array]:
+    """All (v, w) pairs with a path of exactly two hops (legacy API,
+    ref: traversal/two_hop_neighbors.cu). Host-side; returns sorted unique
+    pairs."""
+    import numpy as np
+
+    from ..core.convert import decompress_to_edgelist
+
+    src, dst, _ = decompress_to_edgelist(g)
+    adj = {}
+    for s, d in zip(src.tolist(), dst.tolist()):
+        adj.setdefault(s, []).append(d)
+    pairs = set()
+    for s, mids in adj.items():
+        for m in mids:
+            for d in adj.get(m, ()):
+                if d != s:
+                    pairs.add((s, d))
+    if not pairs:
+        return np.zeros(0, dtype=np.int32), np.zeros(0, dtype=np.int32)
+    arr = np.array(sorted(pairs), dtype=np.int32)
+    return arr[:, 0], arr[:, 1]
