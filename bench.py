@@ -1,0 +1,137 @@
+"""Benchmark: PageRank traversed-edges/s on an RMAT graph, single chip.
+
+Mirrors the reference's e2e benchmark driver (benchmarks/python_e2e/main.py:
+RMAT scale/edgefactor sweeps). Headline metric: PageRank traversed edges
+per second = E * iterations / wall_time for the jitted power iteration
+(graph resident in HBM, convergence on-device).
+
+vs_baseline anchor: the reference publishes no PageRank tables
+(BASELINE.json published={}); the only concrete in-tree throughput is BFS
+on RMAT scale 23/ef 16 finishing in 0.569 s on 2 A100s
+(benchmarks/python_e2e/README.md:50-54) = 2.36e8 traversed edges/s, which
+we use as the baseline denominator. Run `python bench.py --full` for a
+multi-metric report (pagerank, bfs, spmm).
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_EDGES_PER_S = 134_217_728 / 0.569  # ref BFS scale23/ef16, 2xA100
+
+
+def build_graph(scale: int, edgefactor: int):
+    import cugraph_tpu as cg
+
+    num_edges = (2**scale) * edgefactor
+    src, dst = cg.rmat_edgelist(scale=scale, num_edges=num_edges, scramble=True)
+    src, dst = np.asarray(src), np.asarray(dst)
+    from cugraph_tpu.core import renumber as rn
+
+    new_to_old = rn.compute_renumber_map(src, dst, 2**scale)
+    src, dst = rn.apply_renumber_map(new_to_old, src, dst)
+    g = cg.from_edgelist(src, dst, num_vertices=2**scale)
+    return g, num_edges
+
+
+def bench_pagerank(g, num_edges, iters: int = 20, reps: int = 3):
+    import jax
+
+    import cugraph_tpu as cg
+
+    # fixed-iteration run: tol=0 prevents early exit so edges/s is exact
+    def run():
+        pr, it = cg.pagerank(g, tol=0.0, max_iterations=iters)
+        jax.block_until_ready(pr)
+        return it
+
+    run()  # compile + warm
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        it = run()
+        best = min(best, time.perf_counter() - t0)
+    assert it == iters
+    return num_edges * iters / best, best
+
+
+def bench_bfs(g, num_edges, reps: int = 3):
+    import jax
+
+    import cugraph_tpu as cg
+
+    def run():
+        dist, _ = cg.bfs(g, 0)
+        jax.block_until_ready(dist)
+        return dist
+
+    run()
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        run()
+        best = min(best, time.perf_counter() - t0)
+    return num_edges / best, best
+
+
+def bench_spmm(g, num_edges, feat_dim: int = 128, reps: int = 3):
+    import jax
+    import jax.numpy as jnp
+
+    from cugraph_tpu.gnn import spmm_aggregate
+
+    feats = jnp.asarray(
+        np.random.default_rng(0).normal(size=(g.num_vertices, feat_dim)).astype(np.float32)
+    )
+    fn = jax.jit(lambda f: spmm_aggregate(g, f, op="mean"))
+    jax.block_until_ready(fn(feats))
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(feats))
+        best = min(best, time.perf_counter() - t0)
+    return num_edges / best, best
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scale", type=int, default=21)
+    ap.add_argument("--edgefactor", type=int, default=16)
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--full", action="store_true")
+    args = ap.parse_args()
+
+    g, num_edges = build_graph(args.scale, args.edgefactor)
+    eps, t = bench_pagerank(g, num_edges, iters=args.iters)
+    if args.full:
+        bfs_eps, bfs_t = bench_bfs(g, num_edges)
+        spmm_eps, spmm_t = bench_spmm(g, num_edges)
+        print(
+            json.dumps(
+                {
+                    "bfs_edges_per_s": bfs_eps,
+                    "bfs_seconds": bfs_t,
+                    "spmm_edges_per_s": spmm_eps,
+                    "spmm_seconds": spmm_t,
+                    "pagerank_seconds_20it": t,
+                }
+            ),
+            file=sys.stderr,
+        )
+    print(
+        json.dumps(
+            {
+                "metric": f"pagerank_traversed_edges_per_s_rmat{args.scale}_ef{args.edgefactor}",
+                "value": round(eps),
+                "unit": "edges/s",
+                "vs_baseline": round(eps / BASELINE_EDGES_PER_S, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -131,18 +131,18 @@ def _louvain_one_level(g: Graph, resolution, max_sweeps: int):
 
     # run sweeps until a full up+down pair makes no move
     def pair_cond(state):
-        labels, moves_last_pair, it = state
+        labels, moves_last_pair, total, it = state
         return (moves_last_pair > 0) & (it < max_sweeps)
 
     def pair_body(state):
-        labels, _, it = state
+        labels, _, total, it = state
         l1, m1, it1 = sweep((labels, jnp.int32(0), it))
-        l2, m2_, it2 = sweep((l1, m1, it1))
-        return l2, m2_, it2
+        l2, m_pair, it2 = sweep((l1, m1, it1))
+        return l2, m_pair, total + m_pair, it2
 
     labels0 = jnp.arange(v, dtype=jnp.int32)
-    labels, total_moves, _ = jax.lax.while_loop(
-        pair_cond, pair_body, (labels0, jnp.int32(1), jnp.int32(0))
+    labels, _, total_moves, _ = jax.lax.while_loop(
+        pair_cond, pair_body, (labels0, jnp.int32(1), jnp.int32(0), jnp.int32(0))
     )
     return labels, total_moves
 

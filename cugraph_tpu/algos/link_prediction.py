@@ -47,16 +47,22 @@ def _similarity(
     max_deg = int(jnp.max(g.out_degrees())) if g.num_edges else 1
     if use_weight:
         expects(g.weighted, "weighted similarity requires edge weights")
-        # weighted variants use the per-vertex weight sums as 'sizes' and the
-        # sum over common neighbors of min-ish vertex weights; the reference
-        # (similarity_impl.cuh weighted path) sums each common neighbor's
-        # vertex weight; vertex weight = sum of its incident edge weights.
+        # weighted variants (ref similarity_impl.cuh weighted path):
+        # vertex weight w_x = sum of x's incident edge weights; a pair's
+        # intersection weight = sum of w_x over common neighbors, and each
+        # endpoint's "size" = sum of w_x over its own neighborhood — so the
+        # union in the denominator is size(u) + size(v) - intersection.
         vw = g.out_weight_sums()
         inter, wsum = per_v_pair_dst_nbr_intersection(
             g, v1, v2, max_degree=max(max_deg, 1), vertex_weights=vw
         )
-        a = jnp.take(vw, v1)
-        b = jnp.take(vw, v2)
+        from ..prims.per_v import per_v_transform_reduce_outgoing_e
+
+        nbr_wsum = per_v_transform_reduce_outgoing_e(
+            g, lambda s, d, sv, dv, w: dv, dst_values=vw
+        )
+        a = jnp.take(nbr_wsum, v1)
+        b = jnp.take(nbr_wsum, v2)
         inter_f = wsum
     else:
         inter, _ = per_v_pair_dst_nbr_intersection(

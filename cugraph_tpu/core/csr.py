@@ -85,25 +85,18 @@ def _build_adj_np(
     num_majors: int,
     num_minors: int,
 ) -> CompressedAdj:
-    """Host-side compression: sort edges by (major, minor), pad, build offsets."""
+    """Host-side compression: sort edges by (major, minor), pad, build offsets.
+
+    Dispatches to the native C++ builder (cugraph_tpu/native) when present;
+    numpy otherwise."""
+    from .. import native
+
     e = int(majors.shape[0])
-    order = np.lexsort((minors, majors))
-    majors = majors[order].astype(NP_VERTEX_DTYPE)
-    minors = minors[order].astype(NP_VERTEX_DTYPE)
-    if weights is not None:
-        weights = weights[order].astype(NP_WEIGHT_DTYPE)
     e_pad = round_up(max(e, 1), LANE)
-    pad = e_pad - e
-    offsets = np.zeros(num_majors + 1, dtype=NP_VERTEX_DTYPE)
-    np.cumsum(np.bincount(majors, minlength=num_majors), out=offsets[1:])
-    majors_p = np.concatenate(
-        [majors, np.full(pad, num_majors, dtype=NP_VERTEX_DTYPE)]
-    )
-    minors_p = np.concatenate([minors, np.zeros(pad, dtype=NP_VERTEX_DTYPE)])
-    weights_p = (
-        None
-        if weights is None
-        else np.concatenate([weights, np.zeros(pad, dtype=NP_WEIGHT_DTYPE)])
+    if weights is not None:
+        weights = np.asarray(weights, dtype=NP_WEIGHT_DTYPE)
+    offsets, majors_p, minors_p, weights_p = native.build_csr(
+        np.asarray(majors), np.asarray(minors), weights, num_majors, e_pad
     )
     return CompressedAdj(
         offsets=jnp.asarray(offsets),

@@ -37,12 +37,10 @@ def compute_renumber_map(
     """
     if num_vertices is None:
         num_vertices = int(max(src.max(initial=-1), dst.max(initial=-1)) + 1)
-    deg = np.bincount(src, minlength=num_vertices) + np.bincount(
-        dst, minlength=num_vertices
-    )
-    # stable sort on -degree: ties keep original id order (deterministic)
-    new_to_old = np.argsort(-deg, kind="stable").astype(NP_VERTEX_DTYPE)
-    return new_to_old
+    from .. import native
+
+    # stable sort on descending degree; ties keep original id order
+    return native.renumber_map(src, dst, num_vertices).astype(NP_VERTEX_DTYPE)
 
 
 def apply_renumber_map(

@@ -1,0 +1,497 @@
+"""Distributed algorithms over the 2D-partitioned MGGraph.
+
+Each is the SAME loop as its SG counterpart (algos/*), with prims swapped
+for the shard_map versions (dist/mg_prims.py) — preserving the reference's
+invariant that algorithm code is identical for SG and MG (SURVEY.md §1:
+pagerank_impl.cuh is one code path, only the multi_gpu bool changes).
+
+The whole iteration runs inside one jit(shard_map(...)): convergence
+scalars are replicated device values (psum), never host round trips.
+Results come back as (R, C, vp) sharded vertex arrays; use
+mg_graph.unshard_vertex_values for a host copy.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..prims.reduce_ops import ANY, MAXIMUM, MINIMUM, PLUS
+from ..utils.dtypes import WEIGHT_DTYPE
+from . import mg_prims
+from .mg_graph import MGGraph, shard_vertex_values, unshard_vertex_values
+
+BLOCK = P("row", "col", None, None)
+BLK3 = P("row", "col", None)
+VERT = P("row", "col", None)
+
+
+def _pvary(x):
+    """Mark a device-constant array as mesh-varying so while_loop carries
+    match (shard_map varying-manual-axes tracking)."""
+    return jax.lax.pcast(x, ("row", "col"), to="varying")
+
+
+def _local_ids(mgg: MGGraph):
+    """Global vertex ids + validity mask for this device's range."""
+    r = mgg.rows
+    i = jax.lax.axis_index("row")
+    j = jax.lax.axis_index("col")
+    gid = (j * r + i) * mgg.vp + jnp.arange(mgg.vp, dtype=jnp.int32)
+    return gid, gid < mgg.num_vertices
+
+
+def _edge_args(mgg: MGGraph, srcs, dsts, w):
+    """Strip the (1, 1) shard_map leading dims."""
+    srcs = srcs[0, 0]
+    dsts = dsts[0, 0]
+    w = None if w is None else w[0, 0]
+    return srcs, dsts, w
+
+
+def _wrap(x):
+    return x[None, None]
+
+
+def _graph_args(mgg: MGGraph):
+    if mgg.weights is not None:
+        return (mgg.srcs, mgg.dsts, mgg.weights)
+    return (mgg.srcs, mgg.dsts)
+
+
+def _split_args(args, weighted: bool):
+    if weighted:
+        return args[0], args[1], args[2], args[3:]
+    return args[0], args[1], None, args[2:]
+
+
+def mg_out_weight_sums(mesh: Mesh, mgg: MGGraph) -> jax.Array:
+    """Per-vertex out weight sums (degrees if unweighted), sharded."""
+
+    @jax.jit
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=tuple([BLOCK] * len(_graph_args(mgg))),
+        out_specs=VERT,
+    )
+    def run(*args):
+        srcs, dsts, w, _ = _split_args(args, mgg.weighted)
+        srcs, dsts, w = _edge_args(mgg, srcs, dsts, w)
+
+        def e_op(s, d, sv, dv, ww):
+            return ww if ww is not None else jnp.ones(s.shape, WEIGHT_DTYPE)
+
+        out = mg_prims.per_v_transform_reduce_outgoing_e(
+            srcs, dsts, w, mgg.vp, e_op
+        )
+        return _wrap(out)
+
+    return run(*_graph_args(mgg))
+
+
+def mg_in_degrees(mesh: Mesh, mgg: MGGraph) -> jax.Array:
+    @jax.jit
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=tuple([BLOCK] * len(_graph_args(mgg))),
+        out_specs=VERT,
+    )
+    def run(*args):
+        srcs, dsts, w, _ = _split_args(args, mgg.weighted)
+        srcs, dsts, w = _edge_args(mgg, srcs, dsts, w)
+
+        def e_op(s, d, sv, dv, ww):
+            return jnp.ones(s.shape, jnp.int32)
+
+        return _wrap(
+            mg_prims.per_v_transform_reduce_incoming_e(srcs, dsts, None, mgg.vp, e_op)
+        )
+
+    return run(*_graph_args(mgg))
+
+
+# ---------------------------------------------------------------------------
+# PageRank — same loop as algos/link_analysis.py (ref pagerank_impl.cuh:209)
+# ---------------------------------------------------------------------------
+
+
+def mg_pagerank(
+    mesh: Mesh,
+    mgg: MGGraph,
+    alpha: float = 0.85,
+    max_iterations: int = 100,
+    tol: float = 1.0e-6,
+) -> Tuple[jax.Array, jax.Array]:
+    """Returns (pageranks (R, C, vp) sharded, iterations)."""
+    v = mgg.num_vertices
+
+    @partial(jax.jit, static_argnames=("max_iterations",))
+    def run_jit(alpha_, tol_, max_iterations, *args):
+        @partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=tuple([BLOCK] * len(args)),
+            out_specs=(VERT, P()),
+        )
+        def run(*gargs):
+            srcs, dsts, w, _ = _split_args(gargs, mgg.weighted)
+            srcs, dsts, w = _edge_args(mgg, srcs, dsts, w)
+            gid, vmask = _local_ids(mgg)
+
+            def w_op(s, d, sv, dv, ww):
+                return ww if ww is not None else jnp.ones(s.shape, WEIGHT_DTYPE)
+
+            out_wsum = mg_prims.per_v_transform_reduce_outgoing_e(
+                srcs, dsts, w, mgg.vp, w_op
+            )
+            dangling = vmask & (out_wsum <= 0)
+            inv_out = jnp.where(out_wsum > 0, 1.0 / jnp.maximum(out_wsum, 1e-30), 0.0)
+            reset = jnp.where(vmask, 1.0 / v, 0.0).astype(WEIGHT_DTYPE)
+            pr0 = reset
+
+            def e_op(s, d, sv, dv, ww):
+                return sv if ww is None else sv * ww
+
+            def cond(state):
+                pr, diff, it = state
+                return (diff > v * tol_) & (it < max_iterations)
+
+            def body(state):
+                pr, _, it = state
+                msg = pr * inv_out
+                agg = mg_prims.per_v_transform_reduce_incoming_e(
+                    srcs, dsts, w, mgg.vp, e_op, src_values=msg
+                )
+                d_sum = mg_prims.transform_reduce_v(jnp.where(dangling, pr, 0.0))
+                new = alpha_ * (agg + d_sum * reset) + (1.0 - alpha_) * reset
+                new = jnp.where(vmask, new, 0.0)
+                diff = mg_prims.transform_reduce_v(jnp.abs(new - pr))
+                return new, diff, it + 1
+
+            pr, _, iters = jax.lax.while_loop(
+                cond, body, (pr0, jnp.asarray(jnp.inf, WEIGHT_DTYPE), jnp.int32(0))
+            )
+            return _wrap(pr), iters
+
+        return run(*args)
+
+    return run_jit(
+        jnp.asarray(alpha, WEIGHT_DTYPE),
+        jnp.asarray(tol, WEIGHT_DTYPE),
+        max_iterations,
+        *_graph_args(mgg),
+    )
+
+
+# ---------------------------------------------------------------------------
+# BFS — same loop as algos/traversal.py (ref bfs_impl.cuh:205-283)
+# ---------------------------------------------------------------------------
+
+
+def mg_bfs(
+    mesh: Mesh, mgg: MGGraph, sources, depth_limit: Optional[int] = None
+) -> Tuple[jax.Array, jax.Array]:
+    """Returns sharded (distances, predecessors), each (R, C, vp)."""
+    from ..algos.traversal import INVALID_DISTANCE
+
+    src_mask_np = np.zeros(mgg.num_vertices, dtype=bool)
+    src_mask_np[np.atleast_1d(np.asarray(sources))] = True
+    src_mask = shard_vertex_values(mesh, mgg, src_mask_np)
+    limit = int(depth_limit) if depth_limit is not None else mgg.num_vertices
+
+    @partial(jax.jit, static_argnames=("limit",))
+    def run_jit(limit, mask, *args):
+        @partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(VERT,) + tuple([BLOCK] * len(args)),
+            out_specs=(VERT, VERT),
+        )
+        def run(mask_l, *gargs):
+            srcs, dsts, w, _ = _split_args(gargs, mgg.weighted)
+            srcs, dsts, w = _edge_args(mgg, srcs, dsts, w)
+            m0 = mask_l[0, 0]
+            gid, vmask = _local_ids(mgg)
+            dist0 = jnp.where(m0, 0, INVALID_DISTANCE).astype(jnp.int32)
+            pred0 = _pvary(jnp.full(mgg.vp, -1, jnp.int32))
+
+            def e_op(s, d, sv, dv, ww):
+                return ~dv, s  # dv = visited[dst]; payload = global src id
+
+            def cond(state):
+                visited, dist, pred, frontier, n_frontier, depth = state
+                return (n_frontier > 0) & (depth < limit)
+
+            def body(state):
+                visited, dist, pred, frontier, _, depth = state
+                touched, pred_cand = mg_prims.frontier_push_by_dst(
+                    srcs,
+                    dsts,
+                    w,
+                    mgg.vp,
+                    frontier,
+                    e_op,
+                    reduce_op=ANY,
+                    dst_values=visited,
+                )
+                new = touched & ~visited & vmask
+                dist = jnp.where(new, depth + 1, dist)
+                pred = jnp.where(new, pred_cand, pred)
+                n_frontier = mg_prims.transform_reduce_v(new.astype(jnp.int32))
+                return visited | new, dist, pred, new, n_frontier, depth + 1
+
+            n0 = mg_prims.transform_reduce_v(m0.astype(jnp.int32))
+            visited, dist, pred, _, _, _ = jax.lax.while_loop(
+                cond, body, (m0, dist0, pred0, m0, n0, jnp.int32(0))
+            )
+            return _wrap(dist), _wrap(pred)
+
+        return run(mask, *args)
+
+    return run_jit(limit, src_mask, *_graph_args(mgg))
+
+
+# ---------------------------------------------------------------------------
+# SSSP — same frontier relaxation as algos/traversal.py
+# ---------------------------------------------------------------------------
+
+
+def mg_sssp(
+    mesh: Mesh, mgg: MGGraph, source, cutoff: Optional[float] = None
+) -> Tuple[jax.Array, jax.Array]:
+    src_mask_np = np.zeros(mgg.num_vertices, dtype=bool)
+    src_mask_np[np.atleast_1d(np.asarray(source))] = True
+    src_mask = shard_vertex_values(mesh, mgg, src_mask_np)
+    c = jnp.asarray(cutoff if cutoff is not None else jnp.inf, WEIGHT_DTYPE)
+
+    @jax.jit
+    def run_jit(cutoff_, mask, *args):
+        @partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(VERT,) + tuple([BLOCK] * len(args)),
+            out_specs=(VERT, VERT),
+        )
+        def run(mask_l, *gargs):
+            srcs, dsts, w, _ = _split_args(gargs, mgg.weighted)
+            srcs, dsts, w = _edge_args(mgg, srcs, dsts, w)
+            m0 = mask_l[0, 0]
+            inf = jnp.asarray(jnp.inf, WEIGHT_DTYPE)
+            dist0 = jnp.where(m0, 0.0, inf).astype(WEIGHT_DTYPE)
+            pred0 = _pvary(jnp.full(mgg.vp, -1, jnp.int32))
+
+            def relax_op(s, d, sv, dv, ww):
+                wval = ww if ww is not None else jnp.ones_like(sv)
+                cand = sv + wval
+                return (cand < dv) & (cand <= cutoff_), cand
+
+            def cond(state):
+                dist, pred, frontier, n_frontier, it = state
+                return (n_frontier > 0) & (it < mgg.num_vertices)
+
+            def body(state):
+                dist, pred, frontier, _, it = state
+                touched, cand = mg_prims.frontier_push_by_dst(
+                    srcs, dsts, w, mgg.vp, frontier, relax_op,
+                    reduce_op=MINIMUM, src_values=dist, dst_values=dist,
+                )
+                improved = touched & (cand < dist)
+                new_dist = jnp.where(improved, cand, dist)
+
+                def pred_op(s, d, sv, dv, ww):
+                    wval = ww if ww is not None else jnp.ones_like(sv)
+                    return (sv + wval == dv), s
+
+                _, pred_cand = mg_prims.frontier_push_by_dst(
+                    srcs, dsts, w, mgg.vp, frontier, pred_op,
+                    reduce_op=ANY, src_values=dist, dst_values=new_dist,
+                )
+                pred = jnp.where(improved, pred_cand, pred)
+                n_frontier = mg_prims.transform_reduce_v(improved.astype(jnp.int32))
+                return new_dist, pred, improved, n_frontier, it + 1
+
+            n0 = mg_prims.transform_reduce_v(m0.astype(jnp.int32))
+            dist, pred, _, _, _ = jax.lax.while_loop(
+                cond, body, (dist0, pred0, m0, n0, jnp.int32(0))
+            )
+            return _wrap(dist), _wrap(pred)
+
+        return run(mask, *args)
+
+    return run_jit(c, src_mask, *_graph_args(mgg))
+
+
+# ---------------------------------------------------------------------------
+# WCC — min-label propagation (same as algos/components.py)
+# ---------------------------------------------------------------------------
+
+
+def mg_wcc(mesh: Mesh, mgg: MGGraph) -> jax.Array:
+    @jax.jit
+    def run_jit(*args):
+        @partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=tuple([BLOCK] * len(args)),
+            out_specs=VERT,
+        )
+        def run(*gargs):
+            srcs, dsts, w, _ = _split_args(gargs, mgg.weighted)
+            srcs, dsts, w = _edge_args(mgg, srcs, dsts, w)
+            gid, vmask = _local_ids(mgg)
+            labels0 = gid
+
+            def push_op(s, d, sv, dv, ww):
+                return sv
+
+            def pull_op(s, d, sv, dv, ww):
+                return dv
+
+            def cond(state):
+                labels, changed = state
+                return changed > 0
+
+            def body(state):
+                labels, _ = state
+                down = mg_prims.per_v_transform_reduce_incoming_e(
+                    srcs, dsts, None, mgg.vp, push_op,
+                    reduce_op=MINIMUM, src_values=labels,
+                )
+                up = mg_prims.per_v_transform_reduce_outgoing_e(
+                    srcs, dsts, None, mgg.vp, pull_op,
+                    reduce_op=MINIMUM, dst_values=labels,
+                )
+                new = jnp.minimum(labels, jnp.minimum(down, up))
+                changed = mg_prims.transform_reduce_v(
+                    (new != labels).astype(jnp.int32)
+                )
+                return new, changed
+
+            labels, _ = jax.lax.while_loop(cond, body, (labels0, jnp.int32(1)))
+            return _wrap(labels)
+
+        return run(*args)
+
+    return run_jit(*_graph_args(mgg))
+
+
+# ---------------------------------------------------------------------------
+# Katz — same loop as algos/centrality.py
+# ---------------------------------------------------------------------------
+
+
+def mg_katz_centrality(
+    mesh: Mesh,
+    mgg: MGGraph,
+    alpha: float,
+    beta: float = 1.0,
+    max_iterations: int = 1000,
+    tol: float = 1.0e-6,
+) -> jax.Array:
+    v = mgg.num_vertices
+
+    @partial(jax.jit, static_argnames=("max_iterations",))
+    def run_jit(alpha_, beta_, tol_, max_iterations, *args):
+        @partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=tuple([BLOCK] * len(args)),
+            out_specs=VERT,
+        )
+        def run(*gargs):
+            srcs, dsts, w, _ = _split_args(gargs, mgg.weighted)
+            srcs, dsts, w = _edge_args(mgg, srcs, dsts, w)
+            gid, vmask = _local_ids(mgg)
+
+            def e_op(s, d, sv, dv, ww):
+                return sv if ww is None else sv * ww
+
+            def cond(state):
+                x, diff, it = state
+                return (diff > v * tol_) & (it < max_iterations)
+
+            def body(state):
+                x, _, it = state
+                new = alpha_ * mg_prims.per_v_transform_reduce_incoming_e(
+                    srcs, dsts, w, mgg.vp, e_op, src_values=x
+                ) + beta_
+                new = jnp.where(vmask, new, 0.0)
+                diff = mg_prims.transform_reduce_v(jnp.abs(new - x))
+                return new, diff, it + 1
+
+            x0 = _pvary(jnp.zeros(mgg.vp, WEIGHT_DTYPE))
+            x, _, _ = jax.lax.while_loop(
+                cond, body, (x0, jnp.asarray(jnp.inf, WEIGHT_DTYPE), jnp.int32(0))
+            )
+            norm2 = mg_prims.transform_reduce_v(x * x)
+            return _wrap(x / jnp.maximum(jnp.sqrt(norm2), 1e-30))
+
+        return run(*args)
+
+    return run_jit(
+        jnp.asarray(alpha, WEIGHT_DTYPE),
+        jnp.asarray(beta, WEIGHT_DTYPE),
+        jnp.asarray(tol, WEIGHT_DTYPE),
+        max_iterations,
+        *_graph_args(mgg),
+    )
+
+
+# ---------------------------------------------------------------------------
+# GNN aggregation (SpMM) — the GraphSAGE substrate, distributed
+# ---------------------------------------------------------------------------
+
+
+def mg_spmm_aggregate(
+    mesh: Mesh, mgg: MGGraph, features: jax.Array, op: str = "mean"
+) -> jax.Array:
+    """features: (R, C, vp, F) sharded -> aggregated (R, C, vp, F).
+
+    The distributed SpMM of the BASELINE GraphSAGE config: feature rows
+    gathered along "row" (column span), partial products reduced to the
+    dst owner along "col"."""
+    assert op in ("sum", "mean", "max")
+
+    @partial(jax.jit, static_argnames=("op",))
+    def run_jit(op, feats, *args):
+        @partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(P("row", "col", None, None),) + tuple([BLOCK] * len(args)),
+            out_specs=P("row", "col", None, None),
+        )
+        def run(feats_l, *gargs):
+            srcs, dsts, w, _ = _split_args(gargs, mgg.weighted)
+            srcs, dsts, w = _edge_args(mgg, srcs, dsts, w)
+            x = feats_l[0, 0]  # (vp, F)
+
+            def e_op(s, d, sv, dv, ww):
+                return sv
+
+            red = MAXIMUM if op == "max" else PLUS
+            agg = mg_prims.per_v_transform_reduce_incoming_e(
+                srcs, dsts, w, mgg.vp, e_op, reduce_op=red, src_values=x
+            )
+            if op == "mean":
+                def one_op(s, d, sv, dv, ww):
+                    return jnp.ones(s.shape, WEIGHT_DTYPE)
+
+                deg = mg_prims.per_v_transform_reduce_incoming_e(
+                    srcs, dsts, None, mgg.vp, one_op
+                )
+                agg = agg / jnp.maximum(deg, 1.0)[:, None]
+            if op == "max":
+                agg = jnp.where(jnp.isfinite(agg), agg, 0.0)
+            return _wrap(agg)
+
+        return run(feats, *args)
+
+    return run_jit(op, features, *_graph_args(mgg))

@@ -1,0 +1,280 @@
+"""Distributed prims: the shard_map bodies that give MG algorithms the same
+shape as SG ones.
+
+ref comm mapping (SURVEY.md §2.3): the reference's device_bcast over
+col_comm -> all_gather over mesh axis "row" (src-side values for a device's
+column span); device_reduce to the owner rank -> psum_scatter over axis
+"col" (each device keeps its own range's reduced values); host scalar
+allreduce -> scalar psum over both axes, folded into the jitted loop.
+
+All functions here run INSIDE shard_map over a ("row", "col") mesh. Local
+array shapes: vertex state (vp,), edge blocks (C, b_pad). The e_op
+signature matches the SG prims (global src/dst ids, gathered values,
+weights) so algorithm bodies stay identical — the reference's key invariant
+("algorithms never talk to the communicator", SURVEY.md §1).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..prims.reduce_ops import PLUS, ReduceOp
+
+ROW, COL = "row", "col"
+
+
+def _axis_sizes():
+    return jax.lax.axis_size(ROW), jax.lax.axis_size(COL)
+
+
+def _my_coords():
+    return jax.lax.axis_index(ROW), jax.lax.axis_index(COL)
+
+
+def _global_edge_ids(srcs, dsts, vp):
+    """Reconstruct global src/dst ids for e_op parity with SG prims."""
+    r, c = _axis_sizes()
+    i, j = _my_coords()
+    src_g = srcs + j * r * vp  # column-span offset
+    b = jax.lax.broadcasted_iota(jnp.int32, srcs.shape, 0)  # block index
+    dst_g = dsts + (b * r + i) * vp  # block dst-range offset
+    return src_g, dst_g
+
+
+def _block_reduce_by_dst(
+    e_vals: jax.Array,
+    dsts: jax.Array,
+    vp: int,
+    reduce_op: ReduceOp,
+    valid: jax.Array,
+) -> jax.Array:
+    """(C, b_pad) edge values -> (C, vp) per-block dst partials."""
+    c = e_vals.shape[0]
+    ident = reduce_op.identity(e_vals.dtype)
+    if e_vals.ndim > 2:
+        mask = valid.reshape(valid.shape + (1,) * (e_vals.ndim - 2))
+    else:
+        mask = valid
+    e_vals = jnp.where(mask, e_vals, ident)
+    b = jax.lax.broadcasted_iota(jnp.int32, dsts.shape, 0)
+    seg = b * (vp + 1) + dsts  # padding dst == vp -> discard bucket
+    flat = reduce_op.segment(
+        e_vals.reshape((-1,) + e_vals.shape[2:]),
+        seg.reshape(-1),
+        num_segments=c * (vp + 1),
+        indices_are_sorted=True,
+    )
+    out = flat.reshape((c, vp + 1) + flat.shape[1:])[:, :vp]
+    return out
+
+
+def _merge_dst_partials(partials: jax.Array, reduce_op: ReduceOp) -> jax.Array:
+    """(C, vp) partials -> (vp,) reduced values for this device's own range.
+
+    PLUS rides the reduce-scatter fast path; min/max fall back to
+    allreduce + slice (no pmin_scatter collective exists)."""
+    c = partials.shape[0]
+    if reduce_op.collective == "psum":
+        flat = partials.reshape((-1,) + partials.shape[2:])
+        return jax.lax.psum_scatter(flat, COL, scatter_dimension=0, tiled=True)
+    if reduce_op.collective == "pmin":
+        merged = jax.lax.pmin(partials, COL)
+    else:
+        merged = jax.lax.pmax(partials, COL)
+    j = jax.lax.axis_index(COL)
+    return jax.lax.dynamic_index_in_dim(merged, j, axis=0, keepdims=False)
+
+
+def gather_src_values(values_local: Any) -> Any:
+    """Local (vp, ...) vertex values -> column-span (R*vp, ...) values.
+
+    The reference's update_edge_src_property bcast over col_comm."""
+    if values_local is None:
+        return None
+    return jax.tree.map(
+        lambda a: jax.lax.all_gather(a, ROW, axis=0, tiled=True), values_local
+    )
+
+
+def gather_dst_values(values_local: Any) -> Any:
+    """Local (vp, ...) -> (C, vp, ...): dst-range values for each block.
+
+    Block b's dst range (q = b*R + i) is owned by device (i, b), so an
+    all_gather over "col" delivers exactly the C block ranges.
+    The reference's update_edge_dst_property over row_comm."""
+    if values_local is None:
+        return None
+    return jax.tree.map(
+        lambda a: jax.lax.all_gather(a, COL, axis=0, tiled=False), values_local
+    )
+
+
+def _edge_values(
+    srcs,
+    dsts,
+    weights,
+    vp: int,
+    e_op: Callable,
+    src_values_local: Any,
+    dst_values_local: Any,
+):
+    src_g, dst_g = _global_edge_ids(srcs, dsts, vp)
+    sv = dv = None
+    if src_values_local is not None:
+        span = gather_src_values(src_values_local)
+        sv = jax.tree.map(lambda a: jnp.take(a, srcs, axis=0), span)
+    if dst_values_local is not None:
+        blocks = gather_dst_values(dst_values_local)  # (C, vp, ...)
+        safe = jnp.minimum(dsts, vp - 1)
+
+        def take_block(a):
+            return jnp.take_along_axis(
+                a,
+                safe.reshape(safe.shape + (1,) * (a.ndim - 2)),
+                axis=1,
+            )
+
+        dv = jax.tree.map(take_block, blocks)
+    return e_op(src_g, dst_g, sv, dv, weights)
+
+
+def per_v_transform_reduce_incoming_e(
+    srcs,
+    dsts,
+    weights,
+    vp: int,
+    e_op: Callable,
+    *,
+    reduce_op: ReduceOp = PLUS,
+    init: Any = None,
+    src_values: Any = None,
+    dst_values: Any = None,
+) -> jax.Array:
+    """MG pull-reduce: returns (vp, ...) values for this device's own range.
+
+    ref: per_v_transform_reduce_incoming_outgoing_e.cuh update_major path
+    (:915-966): local per-block segment reduce + reduce to owner."""
+    e_vals = _edge_values(srcs, dsts, weights, vp, e_op, src_values, dst_values)
+    valid = dsts < vp
+    partials = _block_reduce_by_dst(e_vals, dsts, vp, reduce_op, valid)
+    out = _merge_dst_partials(partials, reduce_op)
+    if init is not None:
+        out = reduce_op.combine(out, jnp.asarray(init, dtype=out.dtype))
+    return out
+
+
+def per_v_transform_reduce_outgoing_e(
+    srcs,
+    dsts,
+    weights,
+    vp: int,
+    e_op: Callable,
+    *,
+    reduce_op: ReduceOp = PLUS,
+    init: Any = None,
+    src_values: Any = None,
+    dst_values: Any = None,
+) -> jax.Array:
+    """MG push-reduce (reduce by src): partials over the column span merge
+    with psum_scatter over "row" (the update_minor path, :972-1037)."""
+    r, c = _axis_sizes()
+    e_vals = _edge_values(srcs, dsts, weights, vp, e_op, src_values, dst_values)
+    valid = dsts < vp
+    ident = reduce_op.identity(e_vals.dtype)
+    if e_vals.ndim > 2:
+        mask = valid.reshape(valid.shape + (1,) * (e_vals.ndim - 2))
+    else:
+        mask = valid
+    e_vals = jnp.where(mask, e_vals, ident)
+    span = r * vp
+    seg = jnp.where(valid, srcs, span)
+    partial = reduce_op.segment(
+        e_vals.reshape((-1,) + e_vals.shape[2:]),
+        seg.reshape(-1),
+        num_segments=span + 1,
+    )[:span]
+    if reduce_op.collective == "psum":
+        out = jax.lax.psum_scatter(partial, ROW, scatter_dimension=0, tiled=True)
+    else:
+        merged = (
+            jax.lax.pmin(partial, ROW)
+            if reduce_op.collective == "pmin"
+            else jax.lax.pmax(partial, ROW)
+        )
+        i = jax.lax.axis_index(ROW)
+        out = jax.lax.dynamic_slice_in_dim(merged, i * vp, vp, axis=0)
+    if init is not None:
+        out = reduce_op.combine(out, jnp.asarray(init, dtype=out.dtype))
+    return out
+
+
+def transform_reduce_v(values_local: jax.Array, v_op: Callable = None) -> jax.Array:
+    """Global scalar reduction of per-vertex values (PLUS); stays on device.
+
+    The reference pays a host allreduce here (host_scalar_comm.hpp); we
+    fold a two-axis psum into the jitted loop."""
+    vals = values_local if v_op is None else v_op(values_local)
+    local = jnp.sum(vals, axis=0)
+    return jax.lax.psum(jax.lax.psum(local, ROW), COL)
+
+
+def frontier_push_by_dst(
+    srcs,
+    dsts,
+    weights,
+    vp: int,
+    frontier_local: jax.Array,
+    e_op: Callable,
+    *,
+    reduce_op: ReduceOp,
+    src_values: Any = None,
+    dst_values: Any = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """MG frontier push (ref transform_reduce_v_frontier_outgoing_e_by_dst:
+    frontier bcast over col_comm :254, local extract, shuffle to dst owner
+    :437-449 — here: all_gather "row" + masked block reduce + merge "col").
+
+    Returns (touched_local (vp,) bool, reduced_local (vp, ...))."""
+    span_mask = gather_src_values(frontier_local)  # (R*vp,)
+    active = jnp.take(span_mask, srcs) & (dsts < vp)
+
+    src_g, dst_g = _global_edge_ids(srcs, dsts, vp)
+    sv = dv = None
+    if src_values is not None:
+        span = gather_src_values(src_values)
+        sv = jax.tree.map(lambda a: jnp.take(a, srcs, axis=0), span)
+    if dst_values is not None:
+        blocks = gather_dst_values(dst_values)
+        safe = jnp.minimum(dsts, vp - 1)
+        dv = jax.tree.map(
+            lambda a: jnp.take_along_axis(
+                a, safe.reshape(safe.shape + (1,) * (a.ndim - 2)), axis=1
+            ),
+            blocks,
+        )
+    keep, payload = e_op(src_g, dst_g, sv, dv, weights)
+    keep = keep & active
+    ident = reduce_op.identity(payload.dtype)
+    if payload.ndim > 2:
+        maskb = keep.reshape(keep.shape + (1,) * (payload.ndim - 2))
+    else:
+        maskb = keep
+    payload = jnp.where(maskb, payload, ident)
+    masked_dst = jnp.where(keep, dsts, vp)
+    partials = _block_reduce_by_dst(
+        payload, masked_dst, vp, reduce_op, keep | (dsts < vp)
+    )
+    reduced = _merge_dst_partials(partials, reduce_op)
+    touched_part = _block_reduce_by_dst(
+        keep.astype(jnp.int32), masked_dst, vp, PLUS, keep
+    )
+    touched = (
+        jax.lax.psum_scatter(
+            touched_part.reshape(-1), COL, scatter_dimension=0, tiled=True
+        )
+        > 0
+    )
+    return touched, reduced

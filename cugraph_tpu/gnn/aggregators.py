@@ -1,0 +1,72 @@
+"""GNN neighborhood aggregation = SpMM on the same CSR substrate.
+
+The BASELINE.json north star: "GNN aggregation (GraphSAGE/GCN mean/max) are
+expressed on the same neighborhood-aggregate substrate" as the analytics.
+These are feature-matrix (V, F) versions of per_v_transform_reduce —
+gather rows, segment-reduce by destination. XLA fuses the gather into the
+segment-sum scatter; F rides the TPU lane dimension (pad F to 128 for best
+MXU/VPU utilization).
+
+ref counterpart: cugraph's GNN consumers delegate aggregation to
+DGL/PyG kernels over sampled blocks (gnn/graph_store.py:155); here
+aggregation is first-class.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..core.csr import Graph
+from ..prims.per_v import per_v_transform_reduce_incoming_e
+from ..prims.reduce_ops import MAXIMUM, PLUS
+
+
+def spmm_aggregate(
+    g: Graph,
+    features: jax.Array,
+    *,
+    op: str = "mean",
+    use_weights: bool = False,
+) -> jax.Array:
+    """out[v] = op over incoming neighbors' feature rows. op: sum|mean|max."""
+
+    def e_op(s, d, sv, dv, w):
+        if use_weights and w is not None:
+            return sv * w[:, None]
+        return sv
+
+    if op in ("sum", "mean"):
+        agg = per_v_transform_reduce_incoming_e(
+            g, e_op, reduce_op=PLUS, src_values=features
+        )
+        if op == "mean":
+            deg = g.in_degrees().astype(features.dtype)
+            agg = agg / jnp.maximum(deg, 1)[:, None]
+        return agg
+    if op == "max":
+        agg = per_v_transform_reduce_incoming_e(
+            g, e_op, reduce_op=MAXIMUM, src_values=features
+        )
+        # isolated vertices: -inf -> 0
+        return jnp.where(jnp.isfinite(agg), agg, 0.0)
+    raise ValueError(f"unknown op {op!r}")
+
+
+def gcn_aggregate(g: Graph, features: jax.Array) -> jax.Array:
+    """Symmetric-normalized aggregation: D^-1/2 (A+I) D^-1/2 X (Kipf-Welling)."""
+    deg = g.in_degrees().astype(features.dtype) + 1.0
+    dinv = jax.lax.rsqrt(deg)
+    scaled = features * dinv[:, None]
+    agg = spmm_aggregate(g, scaled, op="sum") + scaled  # +I self edge
+    return agg * dinv[:, None]
+
+
+def sage_aggregate(
+    g: Graph, features: jax.Array, *, op: str = "mean"
+) -> jax.Array:
+    """GraphSAGE: concat(self, neighbor-agg)."""
+    nbr = spmm_aggregate(g, features, op=op)
+    return jnp.concatenate([features, nbr], axis=-1)

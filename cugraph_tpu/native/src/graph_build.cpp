@@ -1,0 +1,195 @@
+// Native host-side graph construction kernels.
+//
+// TPU-native counterpart of the reference's C++/CUDA ingest path
+// (cpp/src/structure/renumber_edgelist_impl.cuh compute_renumber_map,
+// create_graph_from_edgelist_impl.cuh CSR compression): on TPU the device
+// computes, but ingest (sort/renumber/compress) is host work, so it gets a
+// native implementation. Exposed as a C ABI consumed via ctypes
+// (cugraph_tpu/native/__init__.py); numpy fallback when the .so is absent.
+//
+// Build: make -C cugraph_tpu/native
+
+#include <algorithm>
+#include <atomic>
+#include <cstdint>
+#include <cstring>
+#include <numeric>
+#include <thread>
+#include <vector>
+
+namespace {
+
+int hardware_threads() {
+  unsigned n = std::thread::hardware_concurrency();
+  return n ? static_cast<int>(n) : 4;
+}
+
+// Parallel-for over [0, n) in contiguous chunks.
+template <typename F>
+void parallel_for(int64_t n, F&& fn) {
+  int nt = hardware_threads();
+  if (n < (1 << 16) || nt <= 1) {
+    fn(int64_t{0}, n);
+    return;
+  }
+  std::vector<std::thread> workers;
+  int64_t chunk = (n + nt - 1) / nt;
+  for (int t = 0; t < nt; ++t) {
+    int64_t lo = t * chunk;
+    int64_t hi = std::min(n, lo + chunk);
+    if (lo >= hi) break;
+    workers.emplace_back([=, &fn] { fn(lo, hi); });
+  }
+  for (auto& w : workers) w.join();
+}
+
+}  // namespace
+
+extern "C" {
+
+// Total-degree histogram: deg[v] += 1 per endpoint occurrence.
+void ct_degree_histogram(const int32_t* src, const int32_t* dst, int64_t e,
+                         int32_t num_vertices, int64_t* deg) {
+  std::memset(deg, 0, sizeof(int64_t) * num_vertices);
+  // sharded counting to avoid atomics: one histogram per thread, reduce
+  int nt = hardware_threads();
+  if (e < (1 << 18) || nt <= 1) {
+    for (int64_t k = 0; k < e; ++k) {
+      ++deg[src[k]];
+      ++deg[dst[k]];
+    }
+    return;
+  }
+  std::vector<std::vector<int64_t>> partial(nt);
+  std::vector<std::thread> workers;
+  int64_t chunk = (e + nt - 1) / nt;
+  for (int t = 0; t < nt; ++t) {
+    int64_t lo = t * chunk, hi = std::min(e, lo + chunk);
+    if (lo >= hi) break;
+    workers.emplace_back([&, t, lo, hi] {
+      partial[t].assign(num_vertices, 0);
+      for (int64_t k = lo; k < hi; ++k) {
+        ++partial[t][src[k]];
+        ++partial[t][dst[k]];
+      }
+    });
+  }
+  for (auto& w : workers) w.join();
+  parallel_for(num_vertices, [&](int64_t lo, int64_t hi) {
+    for (int64_t v = lo; v < hi; ++v) {
+      int64_t s = 0;
+      for (auto& p : partial)
+        if (!p.empty()) s += p[v];
+      deg[v] = s;
+    }
+  });
+}
+
+// Degree-descending renumber map (stable): new_to_old[i] = old id of new i.
+// ref: renumber_edgelist_impl.cuh:96 compute_renumber_map.
+void ct_renumber_map(const int32_t* src, const int32_t* dst, int64_t e,
+                     int32_t num_vertices, int32_t* new_to_old) {
+  std::vector<int64_t> deg(num_vertices);
+  ct_degree_histogram(src, dst, e, num_vertices, deg.data());
+  std::vector<int32_t> ids(num_vertices);
+  std::iota(ids.begin(), ids.end(), 0);
+  std::stable_sort(ids.begin(), ids.end(), [&](int32_t a, int32_t b) {
+    return deg[a] > deg[b];
+  });
+  std::memcpy(new_to_old, ids.data(), sizeof(int32_t) * num_vertices);
+}
+
+// Apply inverse permutation: out[k] = old_to_new[in[k]].
+void ct_apply_map(const int32_t* new_to_old, int32_t num_vertices,
+                  const int32_t* in, int64_t n, int32_t* out) {
+  std::vector<int32_t> old_to_new(num_vertices);
+  for (int32_t i = 0; i < num_vertices; ++i) old_to_new[new_to_old[i]] = i;
+  parallel_for(n, [&](int64_t lo, int64_t hi) {
+    for (int64_t k = lo; k < hi; ++k) out[k] = old_to_new[in[k]];
+  });
+}
+
+// CSR compression: sort edges by (major, minor), emit offsets + padded
+// minor/major/weight arrays (padding: major = num_majors, minor = 0, w = 0).
+// ref: create_graph_from_edgelist_impl.cuh per-partition compression.
+void ct_build_csr(const int32_t* majors, const int32_t* minors,
+                  const float* weights,  // may be null
+                  int64_t e, int32_t num_majors, int64_t e_pad,
+                  int32_t* out_offsets,   // num_majors + 1
+                  int32_t* out_majors,    // e_pad
+                  int32_t* out_minors,    // e_pad
+                  float* out_weights) {   // e_pad or null
+  // counting sort by major (stable), then sort minors within each row.
+  std::vector<int64_t> cnt(num_majors + 1, 0);
+  for (int64_t k = 0; k < e; ++k) ++cnt[majors[k] + 1];
+  for (int32_t v = 0; v < num_majors; ++v) cnt[v + 1] += cnt[v];
+  out_offsets[0] = 0;
+  for (int32_t v = 0; v < num_majors; ++v)
+    out_offsets[v + 1] = static_cast<int32_t>(cnt[v + 1]);
+
+  std::vector<int64_t> cursor(cnt.begin(), cnt.end() - 1);
+  std::vector<int64_t> order(e);
+  for (int64_t k = 0; k < e; ++k) order[cursor[majors[k]]++] = k;
+
+  parallel_for(e, [&](int64_t lo, int64_t hi) {
+    for (int64_t k = lo; k < hi; ++k) {
+      int64_t o = order[k];
+      out_majors[k] = majors[o];
+      out_minors[k] = minors[o];
+      if (weights) out_weights[k] = weights[o];
+    }
+  });
+  // per-row minor sort (weights follow)
+  parallel_for(num_majors, [&](int64_t lo, int64_t hi) {
+    std::vector<int64_t> idx;
+    for (int64_t v = lo; v < hi; ++v) {
+      int64_t b = out_offsets[v], t = out_offsets[v + 1];
+      int64_t len = t - b;
+      if (len <= 1) continue;
+      idx.resize(len);
+      std::iota(idx.begin(), idx.end(), 0);
+      // stable: parallel edges keep input order (matches np.lexsort)
+      std::stable_sort(idx.begin(), idx.end(), [&](int64_t a, int64_t c) {
+        return out_minors[b + a] < out_minors[b + c];
+      });
+      std::vector<int32_t> tmp_m(len);
+      std::vector<float> tmp_w(weights ? len : 0);
+      for (int64_t i = 0; i < len; ++i) {
+        tmp_m[i] = out_minors[b + idx[i]];
+        if (weights) tmp_w[i] = out_weights[b + idx[i]];
+      }
+      std::memcpy(out_minors + b, tmp_m.data(), sizeof(int32_t) * len);
+      if (weights)
+        std::memcpy(out_weights + b, tmp_w.data(), sizeof(float) * len);
+    }
+  });
+  // tail padding
+  parallel_for(e_pad - e, [&](int64_t lo, int64_t hi) {
+    for (int64_t k = lo; k < hi; ++k) {
+      out_majors[e + k] = num_majors;
+      out_minors[e + k] = 0;
+      if (weights) out_weights[e + k] = 0.0f;
+    }
+  });
+}
+
+// Symmetrize: append reciprocal of non-loop edges. Returns new count.
+int64_t ct_symmetrize(const int32_t* src, const int32_t* dst,
+                      const float* w, int64_t e, int32_t* out_src,
+                      int32_t* out_dst, float* out_w) {
+  std::memcpy(out_src, src, sizeof(int32_t) * e);
+  std::memcpy(out_dst, dst, sizeof(int32_t) * e);
+  if (w) std::memcpy(out_w, w, sizeof(float) * e);
+  int64_t n = e;
+  for (int64_t k = 0; k < e; ++k) {
+    if (src[k] != dst[k]) {
+      out_src[n] = dst[k];
+      out_dst[n] = src[k];
+      if (w) out_w[n] = w[k];
+      ++n;
+    }
+  }
+  return n;
+}
+
+}  // extern "C"

@@ -30,20 +30,26 @@ def _contains_sorted(
 
     minors is sorted within each [lo, hi) segment. All args broadcastable.
     """
-    n_steps = max(int(jnp.ceil(jnp.log2(max(minors.shape[0], 2)))) + 1, 1)
+    import math
+
+    n_steps = max(math.ceil(math.log2(max(int(minors.shape[0]), 2))) + 1, 1)
+    shape = jnp.broadcast_shapes(lo.shape, hi.shape, query.shape)
+    lo = jnp.broadcast_to(lo, shape).astype(jnp.int32)
+    hi0 = jnp.broadcast_to(hi, shape).astype(jnp.int32)
 
     def body(_, state):
         lo_, hi_ = state  # invariant: answer in [lo_, hi_)
         mid = (lo_ + hi_) // 2
         mid_val = jnp.take(minors, jnp.clip(mid, 0, minors.shape[0] - 1))
         go_right = mid_val < query
-        lo_ = jnp.where(go_right & (lo_ < hi_), mid + 1, lo_)
-        hi_ = jnp.where(~go_right & (lo_ < hi_), mid, hi_)
+        active = lo_ < hi_
+        lo_ = jnp.where(go_right & active, mid + 1, lo_)
+        hi_ = jnp.where(~go_right & active, mid, hi_)
         return lo_, hi_
 
-    lo_f, _ = jax.lax.fori_loop(0, n_steps, body, (lo, hi))
+    lo_f, _ = jax.lax.fori_loop(0, n_steps, body, (lo, hi0))
     found_val = jnp.take(minors, jnp.clip(lo_f, 0, minors.shape[0] - 1))
-    return (lo_f < hi) & (found_val == query)
+    return (lo_f < hi0) & (found_val == query)
 
 
 def _candidate_tile(

@@ -2,17 +2,17 @@
 
 MG-without-a-cluster mirrors the reference's MPI-on-one-node strategy
 (cpp/tests/CMakeLists.txt:82-114): our analog is an 8-device virtual CPU
-mesh (SURVEY.md §4.2 "TPU translation"). Must run before jax imports.
+mesh (SURVEY.md §4.2 "TPU translation").
+
+The axon sitecustomize imports jax at interpreter start, so env vars are
+too late here — use jax.config (valid until the first backend
+initialization, which pytest hasn't triggered yet).
 """
 
-import os
+import jax
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 import numpy as np
 import pytest

@@ -73,5 +73,7 @@ def test_edge_betweenness(karate):
         slots = np.nonzero(
             ((majors == u) & (minors == v)) | ((majors == v) & (minors == u))
         )[0]
-        got_val = ebc[slots].sum()  # both directions carry half each
-        np.testing.assert_allclose(got_val, 2 * val, rtol=1e-4, atol=1e-6)
+        # the two directed slots of an undirected edge together carry the
+        # full (source-bidirectional) betweenness, matching nx's value
+        got_val = ebc[slots].sum()
+        np.testing.assert_allclose(got_val, val, rtol=1e-4, atol=1e-6)

@@ -1,0 +1,107 @@
+"""GNN: SpMM aggregation vs dense oracle, GraphSAGE/GCN forward, GraphStore."""
+
+import jax
+import numpy as np
+import pandas as pd
+import pytest
+
+import cugraph_tpu as cg
+from cugraph_tpu.gnn import (
+    GCN,
+    GraphSAGE,
+    GraphStore,
+    gcn_aggregate,
+    sage_aggregate,
+    spmm_aggregate,
+)
+from cugraph_tpu.testing import karate_edgelist
+
+
+@pytest.fixture(scope="module")
+def karate():
+    src, dst, w = karate_edgelist()
+    g = cg.from_edgelist(src, dst, w, symmetrize=True)
+    v = g.num_vertices
+    a = np.zeros((v, v), dtype=np.float32)
+    a[src, dst] = 1.0
+    a[dst, src] = 1.0
+    feats = np.random.default_rng(0).normal(size=(v, 8)).astype(np.float32)
+    return g, a, feats
+
+
+def test_spmm_sum_matches_dense(karate):
+    g, a, feats = karate
+    got = np.asarray(spmm_aggregate(g, feats, op="sum"))
+    expected = a.T @ feats  # incoming aggregation
+    np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-5)
+
+
+def test_spmm_mean_matches_dense(karate):
+    g, a, feats = karate
+    got = np.asarray(spmm_aggregate(g, feats, op="mean"))
+    deg = a.T.sum(1, keepdims=True)
+    expected = a.T @ feats / np.maximum(deg, 1)
+    np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-5)
+
+
+def test_spmm_max(karate):
+    g, a, feats = karate
+    got = np.asarray(spmm_aggregate(g, feats, op="max"))
+    expected = np.where(
+        a.T[:, :, None] > 0, feats[None, :, :], -np.inf
+    ).max(axis=1)
+    expected = np.where(np.isfinite(expected), expected, 0.0)
+    np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-5)
+
+
+def test_gcn_aggregate_matches_dense(karate):
+    g, a, feats = karate
+    got = np.asarray(gcn_aggregate(g, feats))
+    a_hat = a + np.eye(len(a), dtype=np.float32)
+    d = a_hat.sum(1)
+    dinv = 1.0 / np.sqrt(d)
+    expected = (a_hat * dinv[:, None] * dinv[None, :]).T @ feats
+    np.testing.assert_allclose(got, expected, rtol=1e-3, atol=1e-4)
+
+
+def test_graphsage_forward(karate):
+    g, a, feats = karate
+    model = GraphSAGE(hidden_features=16, out_features=8)
+    params = model.init(jax.random.PRNGKey(0), g, feats)
+    out = model.apply(params, g, feats)
+    assert out.shape == (g.num_vertices, 8)
+    norms = np.linalg.norm(np.asarray(out), axis=1)
+    np.testing.assert_allclose(norms, 1.0, rtol=1e-4)
+
+
+def test_gcn_forward_and_grad(karate):
+    g, a, feats = karate
+    model = GCN(hidden_features=16, out_features=4)
+    params = model.init(jax.random.PRNGKey(0), g, feats)
+
+    def loss(p):
+        return (model.apply(p, g, feats) ** 2).mean()
+
+    grads = jax.grad(loss)(params)
+    leaf_norms = [float(np.abs(x).sum()) for x in jax.tree.leaves(grads)]
+    assert all(np.isfinite(leaf_norms))
+    assert sum(leaf_norms) > 0
+
+
+def test_graph_store(karate):
+    src, dst, w = karate_edgelist()
+    store = GraphStore()
+    e_df = pd.DataFrame({"src": src, "dst": dst, "w": w})
+    store.add_edge_data(e_df, ("src", "dst"))
+    v_ids = np.arange(34)
+    v_df = pd.DataFrame(
+        {"id": v_ids, "f0": v_ids * 1.0, "f1": v_ids * 2.0}
+    )
+    store.add_node_data(v_df, "id")
+    assert store.num_edges == len(src)
+    samp = store.sample_neighbors([0, 1], fanout=3)
+    assert len(samp) <= 6
+    feats = store.get_node_storage(["f0", "f1"], "").fetch([5, 7])
+    np.testing.assert_allclose(np.asarray(feats), [[5.0, 10.0], [7.0, 14.0]])
+    sub, vmap = store.egonet(0, k=1)
+    assert len(vmap) >= 2
