@@ -446,6 +446,204 @@ def mg_katz_centrality(
 
 
 # ---------------------------------------------------------------------------
+# Eigenvector centrality — same loop as algos/centrality.py
+# ---------------------------------------------------------------------------
+
+
+def mg_eigenvector_centrality(
+    mesh: Mesh,
+    mgg: MGGraph,
+    max_iterations: int = 1000,
+    tol: float = 1.0e-6,
+) -> jax.Array:
+    v = mgg.num_vertices
+
+    @partial(jax.jit, static_argnames=("max_iterations",))
+    def run_jit(tol_, max_iterations, *args):
+        @partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=tuple([BLOCK] * len(args)),
+            out_specs=VERT,
+        )
+        def run(*gargs):
+            srcs, dsts, w, _ = _split_args(gargs, mgg.weighted)
+            srcs, dsts, w = _edge_args(mgg, srcs, dsts, w)
+            gid, vmask = _local_ids(mgg)
+
+            def e_op(s, d, sv, dv, ww):
+                return sv if ww is None else sv * ww
+
+            def cond(state):
+                x, diff, it = state
+                return (diff > v * tol_) & (it < max_iterations)
+
+            def body(state):
+                x, _, it = state
+                new = mg_prims.per_v_transform_reduce_incoming_e(
+                    srcs, dsts, w, mgg.vp, e_op, src_values=x
+                ) + x
+                new = jnp.where(vmask, new, 0.0)
+                norm2 = mg_prims.transform_reduce_v(new * new)
+                new = new / jnp.maximum(jnp.sqrt(norm2), 1e-30)
+                diff = mg_prims.transform_reduce_v(jnp.abs(new - x))
+                return new, diff, it + 1
+
+            x0 = jnp.where(vmask, 1.0 / v, 0.0).astype(WEIGHT_DTYPE)
+            x, _, _ = jax.lax.while_loop(
+                cond, body, (x0, jnp.asarray(jnp.inf, WEIGHT_DTYPE), jnp.int32(0))
+            )
+            return _wrap(x)
+
+        return run(*args)
+
+    return run_jit(jnp.asarray(tol, WEIGHT_DTYPE), max_iterations, *_graph_args(mgg))
+
+
+# ---------------------------------------------------------------------------
+# HITS — same loop as algos/link_analysis.py (ref hits_impl.cuh)
+# ---------------------------------------------------------------------------
+
+
+def mg_hits(
+    mesh: Mesh,
+    mgg: MGGraph,
+    max_iterations: int = 100,
+    tol: float = 1.0e-5,
+) -> Tuple[jax.Array, jax.Array]:
+    @partial(jax.jit, static_argnames=("max_iterations",))
+    def run_jit(tol_, max_iterations, *args):
+        @partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=tuple([BLOCK] * len(args)),
+            out_specs=(VERT, VERT),
+        )
+        def run(*gargs):
+            srcs, dsts, w, _ = _split_args(gargs, mgg.weighted)
+            srcs, dsts, w = _edge_args(mgg, srcs, dsts, w)
+            gid, vmask = _local_ids(mgg)
+
+            def pull_op(s, d, sv, dv, ww):
+                return sv if ww is None else sv * ww
+
+            def push_op(s, d, sv, dv, ww):
+                return dv if ww is None else dv * ww
+
+            def gmax(x):
+                local = jnp.max(x)
+                return jax.lax.pmax(jax.lax.pmax(local, "row"), "col")
+
+            def cond(state):
+                h, a, diff, it = state
+                return (diff > tol_) & (it < max_iterations)
+
+            def body(state):
+                h, a, _, it = state
+                a_new = mg_prims.per_v_transform_reduce_incoming_e(
+                    srcs, dsts, w, mgg.vp, pull_op, src_values=h
+                )
+                a_new = a_new / jnp.maximum(gmax(a_new), 1e-30)
+                h_new = mg_prims.per_v_transform_reduce_outgoing_e(
+                    srcs, dsts, w, mgg.vp, push_op, dst_values=a_new
+                )
+                h_new = h_new / jnp.maximum(gmax(h_new), 1e-30)
+                diff = mg_prims.transform_reduce_v(jnp.abs(h_new - h))
+                return h_new, a_new, diff, it + 1
+
+            v = mgg.num_vertices
+            h0 = jnp.where(vmask, 1.0 / v, 0.0).astype(WEIGHT_DTYPE)
+            a0 = _pvary(jnp.zeros(mgg.vp, WEIGHT_DTYPE))
+            h, a, _, _ = jax.lax.while_loop(
+                cond, body, (h0, a0, jnp.asarray(jnp.inf, WEIGHT_DTYPE), jnp.int32(0))
+            )
+            hs = mg_prims.transform_reduce_v(h)
+            as_ = mg_prims.transform_reduce_v(a)
+            return _wrap(h / jnp.maximum(hs, 1e-30)), _wrap(a / jnp.maximum(as_, 1e-30))
+
+        return run(*args)
+
+    return run_jit(jnp.asarray(tol, WEIGHT_DTYPE), max_iterations, *_graph_args(mgg))
+
+
+# ---------------------------------------------------------------------------
+# Core number — same peeling as algos/cores.py (ref core_number_impl.cuh)
+# ---------------------------------------------------------------------------
+
+
+def mg_core_number(
+    mesh: Mesh, mgg: MGGraph, degree_type: str = "incoming_outgoing"
+) -> jax.Array:
+    assert degree_type in ("incoming", "outgoing", "incoming_outgoing")
+
+    @partial(jax.jit, static_argnames=("degree_type",))
+    def run_jit(degree_type, *args):
+        @partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=tuple([BLOCK] * len(args)),
+            out_specs=VERT,
+        )
+        def run(*gargs):
+            srcs, dsts, w, _ = _split_args(gargs, mgg.weighted)
+            srcs, dsts, w = _edge_args(mgg, srcs, dsts, w)
+            gid, vmask = _local_ids(mgg)
+
+            def residual_degree(alive):
+                out = _pvary(jnp.zeros(mgg.vp, jnp.int32))
+                if degree_type in ("outgoing", "incoming_outgoing"):
+                    out = out + mg_prims.per_v_transform_reduce_outgoing_e(
+                        srcs, dsts, None, mgg.vp,
+                        lambda s, d, sv, dv, ww: dv.astype(jnp.int32),
+                        dst_values=alive,
+                    )
+                if degree_type in ("incoming", "incoming_outgoing"):
+                    out = out + mg_prims.per_v_transform_reduce_incoming_e(
+                        srcs, dsts, None, mgg.vp,
+                        lambda s, d, sv, dv, ww: sv.astype(jnp.int32),
+                        src_values=alive,
+                    )
+                return out
+
+            def outer_cond(state):
+                alive, core, k, n_alive = state
+                return n_alive > 0
+
+            def outer_body(state):
+                alive, core, k, _ = state
+
+                def inner_cond(s):
+                    a, c_, changed = s
+                    return changed > 0
+
+                def inner_body(s):
+                    a, c_, _ = s
+                    deg = residual_degree(a)
+                    drop = a & (deg <= k)
+                    c_ = jnp.where(drop, k, c_)
+                    changed = mg_prims.transform_reduce_v(drop.astype(jnp.int32))
+                    return a & ~drop, c_, changed
+
+                alive, core, _ = jax.lax.while_loop(
+                    inner_cond, inner_body, (alive, core, jnp.int32(1))
+                )
+                n_alive = mg_prims.transform_reduce_v(alive.astype(jnp.int32))
+                return alive, core, k + 1, n_alive
+
+            alive0 = vmask
+            core0 = _pvary(jnp.zeros(mgg.vp, jnp.int32))
+            n0 = mg_prims.transform_reduce_v(alive0.astype(jnp.int32))
+            _, core, _, _ = jax.lax.while_loop(
+                outer_cond, outer_body, (alive0, core0, jnp.int32(0), n0)
+            )
+            return _wrap(core)
+
+        return run(*args)
+
+    return run_jit(degree_type, *_graph_args(mgg))
+
+
+# ---------------------------------------------------------------------------
 # GNN aggregation (SpMM) — the GraphSAGE substrate, distributed
 # ---------------------------------------------------------------------------
 

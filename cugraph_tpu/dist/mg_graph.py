@@ -44,6 +44,11 @@ class MGGraph:
     dsts: jax.Array  # local dst in [0, vp); padding = vp
     weights: Optional[jax.Array]
     block_counts: jax.Array  # (R, C, C) int32 valid edges per block
+    # src-side CSR over this device's edges (sampling / push-by-row):
+    # offsets over the column span, dst ids GLOBAL (they cross blocks)
+    src_csr_offsets: Optional[jax.Array]  # (R, C, R*vp + 1) int32
+    src_csr_dsts: Optional[jax.Array]  # (R, C, d_pad) int32 global dst
+    src_csr_weights: Optional[jax.Array]  # (R, C, d_pad) f32 | None
     rows: int = dataclasses.field(metadata=dict(static=True))
     cols: int = dataclasses.field(metadata=dict(static=True))
     vp: int = dataclasses.field(metadata=dict(static=True))
@@ -140,6 +145,36 @@ def distribute_edgelist(
             if w_np is not None:
                 w_np[blk, :n] = weight[lo:hi]
 
+    # --- src-side CSR per device (for sampling / push-by-row prims) -------
+    dev = (i_arr * c + j_arr).astype(np.int64)  # device of each edge (orig order)
+    span = r * vp
+    order2 = np.lexsort((dst, src, dev))
+    dev2, src2, dst2 = dev[order2], src[order2], dst[order2]
+    w2 = weight[order2] if weight is not None else None
+    dev_counts = np.bincount(dev2, minlength=r * c)
+    d_pad = round_up(max(int(dev_counts.max(initial=0)), 1), LANE)
+    so_np = np.zeros((r * c, span + 1), dtype=NP_VERTEX_DTYPE)
+    sd_np = np.full((r * c, d_pad), -1, dtype=NP_VERTEX_DTYPE)
+    sw_np = (
+        np.zeros((r * c, d_pad), dtype=NP_WEIGHT_DTYPE)
+        if weight is not None
+        else None
+    )
+    dstarts = np.zeros(r * c + 1, dtype=np.int64)
+    np.cumsum(dev_counts, out=dstarts[1:])
+    for d_id in range(r * c):
+        lo, hi = dstarts[d_id], dstarts[d_id + 1]
+        n = hi - lo
+        j_of = d_id % c
+        if n:
+            local_s = (src2[lo:hi] - j_of * span).astype(np.int64)
+            np.cumsum(
+                np.bincount(local_s, minlength=span), out=so_np[d_id, 1:]
+            )
+            sd_np[d_id, :n] = dst2[lo:hi]
+            if sw_np is not None:
+                sw_np[d_id, :n] = w2[lo:hi]
+
     shard = NamedSharding(mesh, P("row", "col"))
     srcs = jax.device_put(srcs_np.reshape(r, c, c, b_pad), shard)
     dsts = jax.device_put(dsts_np.reshape(r, c, c, b_pad), shard)
@@ -156,6 +191,13 @@ def distribute_edgelist(
         dsts=dsts,
         weights=w,
         block_counts=bc,
+        src_csr_offsets=jax.device_put(so_np.reshape(r, c, span + 1), shard),
+        src_csr_dsts=jax.device_put(sd_np.reshape(r, c, d_pad), shard),
+        src_csr_weights=(
+            jax.device_put(sw_np.reshape(r, c, d_pad), shard)
+            if sw_np is not None
+            else None
+        ),
         rows=r,
         cols=c,
         vp=vp,

@@ -1,0 +1,89 @@
+"""MG wave 2: HITS, eigenvector, core number, sampling — vs SG oracles."""
+
+import jax
+import numpy as np
+import pytest
+
+import cugraph_tpu as cg
+from cugraph_tpu.dist import distribute_graph, make_mesh, mg_algos, mg_sampling
+from cugraph_tpu.dist.mg_graph import unshard_vertex_values
+from cugraph_tpu.testing import karate_edgelist
+
+
+@pytest.fixture(scope="module", params=[(2, 4), (2, 2)])
+def mesh(request):
+    r, c = request.param
+    if r * c > len(jax.devices()):
+        pytest.skip("not enough devices")
+    return make_mesh(request.param)
+
+
+@pytest.fixture(scope="module")
+def karate_sg():
+    src, dst, w = karate_edgelist()
+    return cg.from_edgelist(src, dst, w, symmetrize=True)
+
+
+@pytest.fixture(scope="module")
+def karate_mg(mesh, karate_sg):
+    return distribute_graph(mesh, karate_sg)
+
+
+def test_mg_eigenvector(mesh, karate_sg, karate_mg):
+    x_sg, _ = cg.eigenvector_centrality(karate_sg, tol=1e-7)
+    x_mg = mg_algos.mg_eigenvector_centrality(mesh, karate_mg, tol=1e-7)
+    got = unshard_vertex_values(karate_mg, x_mg)
+    np.testing.assert_allclose(got, np.asarray(x_sg), rtol=1e-3, atol=1e-5)
+
+
+def test_mg_hits(mesh, karate_sg, karate_mg):
+    h_sg, a_sg, _ = cg.hits(karate_sg, tol=1e-7, max_iterations=300)
+    h_mg, a_mg = mg_algos.mg_hits(mesh, karate_mg, tol=1e-7, max_iterations=300)
+    np.testing.assert_allclose(
+        unshard_vertex_values(karate_mg, h_mg), np.asarray(h_sg), rtol=1e-3, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        unshard_vertex_values(karate_mg, a_mg), np.asarray(a_sg), rtol=1e-3, atol=1e-6
+    )
+
+
+def test_mg_core_number(mesh, karate_sg, karate_mg):
+    c_sg = np.asarray(cg.core_number(karate_sg))
+    c_mg = unshard_vertex_values(
+        karate_mg, mg_algos.mg_core_number(mesh, karate_mg)
+    )
+    np.testing.assert_array_equal(c_mg, c_sg)
+
+
+def test_mg_uniform_neighbor_sample(mesh, karate_sg, karate_mg):
+    edges = set(
+        zip(
+            np.asarray(karate_sg.csr().majors)[: karate_sg.num_edges].tolist(),
+            np.asarray(karate_sg.csr().minors)[: karate_sg.num_edges].tolist(),
+        )
+    )
+    res = mg_sampling.mg_uniform_neighbor_sample(
+        mesh, karate_mg, [0, 33], [4, 2], rng_key=jax.random.PRNGKey(3)
+    )
+    assert len(res["sources"]) > 0
+    for s, d in zip(res["sources"], res["destinations"]):
+        assert (int(s), int(d)) in edges
+    assert (res["hop"] == 0).sum() <= 8
+
+
+def test_mg_sample_distribution(mesh, karate_mg, karate_sg):
+    # vertex 0 neighbors should all be reachable with replacement draws
+    deg0 = int(np.asarray(karate_sg.out_degrees())[0])
+    seen = set()
+    for t in range(60):
+        res = mg_sampling.mg_uniform_neighbor_sample(
+            mesh, karate_mg, [0], [4], rng_key=jax.random.PRNGKey(t)
+        )
+        seen |= set(res["destinations"].tolist())
+    nbrs = set(
+        np.asarray(karate_sg.csr().minors)[
+            : int(np.asarray(karate_sg.csr().offsets)[1])
+        ].tolist()
+    )
+    assert len(seen & nbrs) >= min(deg0, 10)
+    assert seen <= nbrs

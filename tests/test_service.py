@@ -1,0 +1,90 @@
+"""Service layer: handler unit tests + end-to-end client/server over HTTP
+(ref: cugraph_service tests/test_e2e.py pattern)."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from cugraph_tpu.service import (
+    CugraphHandler,
+    CugraphServiceError,
+    CugraphTpuClient,
+    CugraphTpuServer,
+)
+from cugraph_tpu.testing import karate_edgelist
+
+
+@pytest.fixture()
+def edge_csv(tmp_path):
+    src, dst, w = karate_edgelist()
+    path = tmp_path / "edges.csv"
+    pd.DataFrame({"src": src, "dst": dst, "weight": w}).to_csv(path, index=False)
+    return str(path)
+
+
+def test_handler_lifecycle(edge_csv):
+    h = CugraphHandler()
+    info = h.get_server_info()
+    assert "num_devices" in info
+    assert h.uptime() >= 0
+    gid = h.create_graph()
+    assert gid in h.get_graph_ids()
+    h.load_csv_as_edge_data(
+        edge_csv, vertex_col_names=["src", "dst"], graph_id=gid
+    )
+    info = h.get_graph_info(gid)
+    assert info["num_edges"] == len(pd.read_csv(edge_csv))
+    h.delete_graph(gid)
+    assert gid not in h.get_graph_ids()
+    with pytest.raises(CugraphServiceError):
+        h.get_graph_info(gid)
+
+
+def test_handler_algorithms(edge_csv):
+    h = CugraphHandler()
+    h.load_csv_as_edge_data(edge_csv, vertex_col_names=["src", "dst"])
+    res = h.pagerank(tol=1e-8)
+    np.testing.assert_allclose(sum(res["pagerank"]), 1.0, rtol=1e-4)
+    samp = h.uniform_neighbor_sample([1, 2], [2])
+    assert len(samp["sources"]) <= 4
+    walks = h.node2vec([1], 3)
+    assert len(walks["vertex_paths"]) == 4
+    egos = h.batched_ego_graphs([1, 2], radius=1)
+    assert len(egos["seed_offsets"]) == 3
+
+
+def test_handler_extensions(tmp_path, edge_csv):
+    ext = tmp_path / "ext.py"
+    ext.write_text(
+        "import pandas as pd\n"
+        "def create_ring_graph(n):\n"
+        "    return pd.DataFrame({'src': list(range(n)),"
+        " 'dst': [(i+1)%n for i in range(n)]})\n"
+    )
+    h = CugraphHandler()
+    n_loaded = h.load_graph_creation_extensions(str(tmp_path))
+    assert n_loaded == 1
+    gid = h.call_graph_creation_extension("create_ring_graph", 5)
+    assert h.get_graph_info(gid)["num_edges"] == 5
+    h.unload_graph_creation_extensions()
+    with pytest.raises(CugraphServiceError):
+        h.call_graph_creation_extension("create_ring_graph", 5)
+
+
+def test_e2e_http(edge_csv):
+    server = CugraphTpuServer(port=0)  # ephemeral port
+    server.start()
+    try:
+        client = CugraphTpuClient(port=server.port)
+        assert client.uptime() >= 0
+        client.load_csv_as_edge_data(edge_csv, vertex_col_names=["src", "dst"])
+        info = client.get_graph_info(0)
+        assert info["num_edges"] == len(pd.read_csv(edge_csv))
+        res = client.pagerank(0, tol=1e-6)
+        np.testing.assert_allclose(sum(res["pagerank"]), 1.0, rtol=1e-4)
+        with pytest.raises(CugraphServiceError):
+            client.get_graph_info(12345)
+    finally:
+        server.stop()
