@@ -79,6 +79,37 @@ def mg_uniform_neighbor_sample(
     }
 
 
+def mg_random_walks(
+    mesh: Mesh,
+    mgg: MGGraph,
+    start_vertices,
+    max_depth: int,
+    *,
+    rng_key: Optional[jax.Array] = None,
+) -> np.ndarray:
+    """Distributed uniform random walks: each step is a fanout-1 draw via
+    the same column-span ownership scheme (ref: the MG random-walk path of
+    sampling/random_walks.cuh). Returns (N, max_depth+1) numpy walks
+    padded with -1 after hitting a sink."""
+    if rng_key is None:
+        rng_key = jax.random.PRNGKey(0)
+    cur = jnp.atleast_1d(jnp.asarray(start_vertices, jnp.int32))
+    n = int(cur.shape[0])
+    walks = [np.asarray(cur)]
+    alive = np.ones(n, dtype=bool)
+    for _ in range(int(max_depth)):
+        rng_key, sub = jax.random.split(rng_key)
+        u = jax.random.uniform(sub, (n, 1))
+        nxt, valid = _mg_sample_level(mesh, mgg, jnp.maximum(cur, 0), u)
+        nxt_np = np.asarray(nxt)[:, 0]
+        valid_np = np.asarray(valid)[:, 0] & alive & (np.asarray(cur) >= 0)
+        step = np.where(valid_np, nxt_np, -1).astype(np.int32)
+        walks.append(step)
+        alive = valid_np
+        cur = jnp.asarray(np.where(valid_np, nxt_np, 0).astype(np.int32))
+    return np.stack(walks, axis=1)
+
+
 def _mg_sample_level(mesh: Mesh, mgg: MGGraph, seeds: jax.Array, u: jax.Array):
     r, c, vp = mgg.rows, mgg.cols, mgg.vp
     span = r * vp

@@ -87,3 +87,20 @@ def test_mg_sample_distribution(mesh, karate_mg, karate_sg):
     )
     assert len(seen & nbrs) >= min(deg0, 10)
     assert seen <= nbrs
+
+
+def test_mg_random_walks(mesh, karate_sg, karate_mg):
+    edges = set(
+        zip(
+            np.asarray(karate_sg.csr().majors)[: karate_sg.num_edges].tolist(),
+            np.asarray(karate_sg.csr().minors)[: karate_sg.num_edges].tolist(),
+        )
+    )
+    walks = mg_sampling.mg_random_walks(
+        mesh, karate_mg, [0, 5, 33], 4, rng_key=jax.random.PRNGKey(1)
+    )
+    assert walks.shape == (3, 5)
+    for row in walks:
+        for a, b in zip(row[:-1], row[1:]):
+            if a >= 0 and b >= 0:
+                assert (int(a), int(b)) in edges
