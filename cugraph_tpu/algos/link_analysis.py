@@ -32,6 +32,7 @@ def _pagerank_jit(
     pr0,
     max_iterations: int,
     has_personalization: bool,
+    pull_layout=None,
 ):
     v = g.num_vertices
     out_wsum = g.out_weight_sums()
@@ -42,6 +43,13 @@ def _pagerank_jit(
         # sv already carries pr/out_weight_sum; multiply by edge weight
         return sv if w is None else sv * w
 
+    def aggregate(msg):
+        if pull_layout is not None:
+            from ..prims.pallas.spmv import pull_spmv
+
+            return pull_spmv(pull_layout, msg)
+        return per_v_transform_reduce_incoming_e(g, e_op, src_values=msg)
+
     def cond(state):
         pr, diff, it = state
         return (diff > v * tol) & (it < max_iterations)
@@ -49,7 +57,7 @@ def _pagerank_jit(
     def body(state):
         pr, _, it = state
         msg = pr * inv_out
-        agg = per_v_transform_reduce_incoming_e(g, e_op, src_values=msg)
+        agg = aggregate(msg)
         # dangling mass redistributed by the reset vector (ref :218 dangling_sum)
         dangling_sum = jnp.sum(jnp.where(dangling, pr, 0.0))
         new = alpha * (agg + dangling_sum * reset) + (1.0 - alpha) * reset
@@ -70,14 +78,26 @@ def pagerank(
     tol: float = 1.0e-6,
     nstart: Optional[jax.Array] = None,
     fail_on_nonconvergence: bool = False,
+    use_pallas: Optional[bool] = None,
 ) -> Tuple[jax.Array, int]:
     """PageRank scores (sum to 1). Returns (scores (V,), iterations).
 
     personalization: (vertex_ids, values) pair restricting the reset vector
     (ref: personalized path of cugraph::pagerank, pagerank_impl.cuh).
+
+    use_pallas: route the aggregation through the windowed Pallas SpMV
+    kernel (prims/pallas/spmv.py). Default: auto — on for TPU backends
+    with large-enough graphs within the kernel's VMEM budget.
     """
     v = g.num_vertices
     expects(v > 0, "empty graph")
+    layout = None
+    if use_pallas is not False and g.num_edges >= 1 << 18:
+        from ..prims.pallas.spmv import pull_layout_for
+
+        layout = pull_layout_for(g)
+        if use_pallas and layout is None:
+            raise RuntimeError("pallas SpMV unavailable for this graph/backend")
     if personalization is not None:
         ids, vals = personalization
         ids = jnp.asarray(ids, dtype=jnp.int32)
@@ -100,6 +120,7 @@ def pagerank(
         pr0,
         max_iterations,
         personalization is not None,
+        layout,
     )
     if fail_on_nonconvergence:
         expects(bool(diff <= v * tol), "PageRank failed to converge")
