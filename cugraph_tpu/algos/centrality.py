@@ -218,7 +218,8 @@ def _brandes_batch(g: Graph, sources: jax.Array):
             bcond, bbody, (delta0, edge_delta0, max_depth - 1)
         )
         delta = delta.at[s].set(0.0)
-        return delta, edge_delta
+        reach = (dist != jnp.iinfo(jnp.int32).max).at[s].set(False)
+        return delta, edge_delta, reach
 
     return jax.vmap(one_source)(sources)
 
@@ -240,18 +241,22 @@ def betweenness_centrality(
         sources = jax.random.choice(
             jax.random.PRNGKey(seed), v, shape=(int(k),), replace=False
         ).astype(jnp.int32)
-    delta, _ = _brandes_batch(g, sources)
+    delta, _, reach = _brandes_batch(g, sources)
     bc = jnp.sum(delta, axis=0)
     if endpoints:
-        # count endpoint pairs: each source contributes (#reachable - 1) to
-        # itself and 1 per reached vertex
-        raise NotImplementedError("endpoints=True not yet supported")
+        # each (s, t) reachable pair adds 1 to both endpoints
+        # (nx _accumulate_endpoints semantics)
+        bc = bc + jnp.sum(reach, axis=0)  # +1 per source reaching v
+        bc = bc.at[sources].add(jnp.sum(reach, axis=1))  # source side
     if k is not None:
         bc = bc * (v / max(int(k), 1))
     if g.is_symmetric:
         bc = bc / 2.0
     if normalized and v > 2:
-        denom = (v - 1) * (v - 2)
+        if endpoints:
+            denom = v * (v - 1)
+        else:
+            denom = (v - 1) * (v - 2)
         if g.is_symmetric:
             denom = denom / 2.0  # undirected pairs
         bc = bc / denom
@@ -270,7 +275,7 @@ def edge_betweenness_centrality(
         sources = jax.random.choice(
             jax.random.PRNGKey(seed), v, shape=(int(k),), replace=False
         ).astype(jnp.int32)
-    _, edge_delta = _brandes_batch(g, sources)
+    _, edge_delta, _ = _brandes_batch(g, sources)
     ebc = jnp.sum(edge_delta, axis=0)
     if k is not None:
         ebc = ebc * (v / max(int(k), 1))

@@ -67,8 +67,10 @@ def pallas_spmv_available(num_vertices: int) -> bool:
 
     if jax.default_backend() not in ("tpu", "axon"):
         return False
+    # the reduce kernel keeps the whole output vector VMEM-resident
+    # (the gather phase runs in XLA for now and needs no VMEM residency)
     r = -(-num_vertices // LANES)
-    return 3 * r * LANES * 4 <= _VMEM_BUDGET_BYTES
+    return r * LANES * 4 <= _VMEM_BUDGET_BYTES
 
 
 _LAYOUT_CACHE: dict = {}

@@ -77,3 +77,11 @@ def test_edge_betweenness(karate):
         # full (source-bidirectional) betweenness, matching nx's value
         got_val = ebc[slots].sum()
         np.testing.assert_allclose(got_val, val, rtol=1e-4, atol=1e-6)
+
+
+def test_betweenness_endpoints(karate):
+    g, G = karate
+    got = np.asarray(cg.betweenness_centrality(g, normalized=True, endpoints=True))
+    expected = nx.betweenness_centrality(G, normalized=True, endpoints=True)
+    for v, val in expected.items():
+        np.testing.assert_allclose(got[v], val, rtol=1e-4, atol=1e-6)
