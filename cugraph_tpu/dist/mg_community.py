@@ -1,0 +1,297 @@
+"""Distributed Louvain + modularity.
+
+ref: the MG instantiation of cpp/src/community/louvain_impl.cuh — the
+reference's delta-modularity sweep runs the keyed-aggregate prims under
+MG comms (per_v_transform_reduce_dst_key_aggregated_outgoing_e with cuco +
+shuffles); contraction reallocates a smaller graph per level.
+
+TPU-native design:
+- The level-1 local-moving sweep (the dominant cost — it runs on the full
+  graph) is fully distributed: each device aggregates its own edges into
+  (src, dst-cluster) runs, the runs for a column span are combined with an
+  all_gather over "row" (the devices of one column jointly own all edges
+  whose src lies in that span), and the re-reduced runs drive the same
+  argmax/up-down move logic as the SG sweep. Cluster degree sums live as
+  a (V,)-dense replicated vector (psum-merged) — the dense analog of the
+  reference's distributed cluster key/value store; hypersparse compression
+  of it is future work (SURVEY.md §7 "Hypersparse regime").
+- Coarsening gathers the (much smaller) contracted graph to the host and
+  continues with the SG dendrogram loop — mirroring how the reference's
+  deeper levels no longer saturate the machine.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from ..utils.dtypes import NP_VERTEX_DTYPE, NP_WEIGHT_DTYPE, WEIGHT_DTYPE
+from ..utils.error import expects
+from . import mg_prims
+from .mg_algos import BLOCK, VERT, _edge_args, _graph_args, _local_ids, _pvary, _split_args, _wrap
+from .mg_graph import MGGraph, unshard_vertex_values
+
+
+def mg_decompress_to_edgelist(mgg: MGGraph):
+    """Sharded blocks -> host COO (src, dst, weight) with global ids."""
+    r, c, vp = mgg.rows, mgg.cols, mgg.vp
+    srcs = np.asarray(mgg.srcs)
+    dsts = np.asarray(mgg.dsts)
+    w = None if mgg.weights is None else np.asarray(mgg.weights)
+    out_s, out_d, out_w = [], [], []
+    for i in range(r):
+        for j in range(c):
+            for b in range(c):
+                n = int(np.asarray(mgg.block_counts)[i, j, b])
+                if not n:
+                    continue
+                ls = srcs[i, j, b, :n]
+                ld = dsts[i, j, b, :n]
+                out_s.append(ls + j * r * vp)
+                out_d.append(ld + (b * r + i) * vp)
+                if w is not None:
+                    out_w.append(w[i, j, b, :n])
+    src = np.concatenate(out_s) if out_s else np.zeros(0, NP_VERTEX_DTYPE)
+    dst = np.concatenate(out_d) if out_d else np.zeros(0, NP_VERTEX_DTYPE)
+    ww = np.concatenate(out_w) if out_w else None
+    return src.astype(NP_VERTEX_DTYPE), dst.astype(NP_VERTEX_DTYPE), ww
+
+
+def mg_modularity(mesh: Mesh, mgg: MGGraph, labels_sharded, resolution: float = 1.0):
+    """Distributed modularity of a sharded labeling."""
+    v = mgg.num_vertices
+
+    @jax.jit
+    def run_jit(res, labels, *args):
+        @partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(VERT,) + tuple([BLOCK] * len(args)),
+            out_specs=P(),
+        )
+        def run(labels_l, *gargs):
+            srcs, dsts, w, _ = _split_args(gargs, mgg.weighted)
+            srcs, dsts, w = _edge_args(mgg, srcs, dsts, w)
+            lab = labels_l[0, 0]
+
+            def k_op(s, d, sv, dv, ww):
+                return ww if ww is not None else jnp.ones(s.shape, WEIGHT_DTYPE)
+
+            k = mg_prims.per_v_transform_reduce_outgoing_e(
+                srcs, dsts, w, mgg.vp, k_op
+            )
+            m2 = jnp.maximum(mg_prims.transform_reduce_v(k), 1e-30)
+
+            def intra_op(s, d, sv, dv, ww):
+                same = (sv == dv).astype(WEIGHT_DTYPE)
+                return same if ww is None else same * ww
+
+            e_same = mg_prims._edge_values(
+                srcs, dsts, w, mgg.vp, intra_op, lab, lab
+            )
+            valid = dsts < mgg.vp
+            intra_local = jnp.sum(jnp.where(valid, e_same, 0.0))
+            intra = jax.lax.psum(jax.lax.psum(intra_local, "row"), "col")
+            # Sigma over dense cluster space, replicated via psum
+            vtot = mgg.rows * mgg.cols * mgg.vp
+            sig_local = jax.ops.segment_sum(k, lab, num_segments=vtot)
+            sigma = jax.lax.psum(jax.lax.psum(sig_local, "row"), "col")
+            return intra / m2 - res * jnp.sum((sigma / m2) ** 2)
+
+        return run(labels, *args)
+
+    return float(
+        run_jit(jnp.asarray(resolution, WEIGHT_DTYPE), labels_sharded, *_graph_args(mgg))
+    )
+
+
+def _mg_louvain_one_level(mesh: Mesh, mgg: MGGraph, resolution: float, max_sweeps: int):
+    """Distributed local-moving phase. Returns (labels (R,C,vp) sharded
+    with GLOBAL cluster ids, total moves)."""
+    r, c, vp = mgg.rows, mgg.cols, mgg.vp
+    span = r * vp
+    vtot = r * c * vp
+
+    @partial(jax.jit, static_argnames=("max_sweeps",))
+    def run_jit(res, max_sweeps, *args):
+        @partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=tuple([BLOCK] * len(args)),
+            out_specs=(VERT, P()),
+        )
+        def run(*gargs):
+            srcs, dsts, w, _ = _split_args(gargs, mgg.weighted)
+            srcs, dsts, w = _edge_args(mgg, srcs, dsts, w)
+            gid, vmask = _local_ids(mgg)
+            i_ax = jax.lax.axis_index("row")
+            valid = (dsts < vp).reshape(-1)
+            flat_src = srcs.reshape(-1)  # colspan-local ids
+            ew = (
+                w.reshape(-1)
+                if w is not None
+                else valid.astype(WEIGHT_DTYPE)
+            )
+            ew = jnp.where(valid, ew, 0.0)
+
+            def k_op(s, d, sv, dv, ww):
+                return ww if ww is not None else jnp.ones(s.shape, WEIGHT_DTYPE)
+
+            k_local = mg_prims.per_v_transform_reduce_outgoing_e(
+                srcs, dsts, w, vp, k_op
+            )
+            m2 = jnp.maximum(mg_prims.transform_reduce_v(k_local), 1e-30)
+            k_span = mg_prims.gather_src_values(k_local)  # (span,)
+
+            # self-loop weight per colspan vertex
+            src_g, dst_g = mg_prims._global_edge_ids(srcs, dsts, vp)
+            is_self = (src_g.reshape(-1) == dst_g.reshape(-1)) & valid
+            selfw_local = jax.ops.segment_sum(
+                jnp.where(is_self, ew, 0.0), flat_src, num_segments=span + 1
+            )[:span]
+            selfw_span = jax.lax.psum(selfw_local, "row")
+
+            def sweep(state):
+                labels, total_moves, it = state
+                # Sigma replicated over dense cluster space
+                sig_local = jax.ops.segment_sum(k_local, labels, num_segments=vtot)
+                sigma = jax.lax.psum(jax.lax.psum(sig_local, "row"), "col")
+                # dst labels for my blocks: (C, vp)
+                lab_blocks = mg_prims.gather_dst_values(labels)
+                key = jnp.take_along_axis(
+                    lab_blocks, jnp.minimum(dsts, vp - 1), axis=1
+                ).reshape(-1)
+                key = jnp.where(valid, key, vtot)
+                # local (src, key) run aggregation via two stable sorts
+                o1 = jnp.argsort(key, stable=True)
+                s1, k1, w1 = flat_src[o1], key[o1], ew[o1]
+                o2 = jnp.argsort(s1, stable=True)
+                s2, k2, w2 = s1[o2], k1[o2], w1[o2]
+                # gather runs of the whole column (axis "row")
+                sg = jax.lax.all_gather(s2, "row", axis=0, tiled=True)
+                kg = jax.lax.all_gather(k2, "row", axis=0, tiled=True)
+                wg = jax.lax.all_gather(w2, "row", axis=0, tiled=True)
+                vg = kg < vtot
+                # re-sort combined runs by (src, key)
+                o3 = jnp.argsort(kg, stable=True)
+                s3, k3, w3 = sg[o3], kg[o3], wg[o3]
+                o4 = jnp.argsort(s3, stable=True)
+                s4, k4, w4 = s3[o4], k3[o4], w3[o4]
+                v4 = k4 < vtot
+                first = jnp.concatenate(
+                    [jnp.ones((1,), bool), (s4[1:] != s4[:-1]) | (k4[1:] != k4[:-1])]
+                )
+                run_id = jnp.cumsum(first.astype(jnp.int32)) - 1
+                n_slots = s4.shape[0]
+                agg = jax.ops.segment_sum(
+                    jnp.where(v4, w4, 0.0), run_id, num_segments=n_slots,
+                    indices_are_sorted=True,
+                )
+                run_valid = first & v4
+                slot_agg = jnp.take(agg, run_id)
+                # labels over the colspan
+                lab_span = mg_prims.gather_src_values(labels)
+                s_safe = jnp.minimum(s4, span - 1)
+                lv = jnp.take(lab_span, s_safe)
+                kv = jnp.take(k_span, s_safe)
+                own = k4 == lv
+                sig_c = jnp.take(sigma, jnp.minimum(k4, vtot - 1)) - jnp.where(
+                    own, kv, 0.0
+                )
+                w_adj = slot_agg - jnp.where(own, jnp.take(selfw_span, s_safe), 0.0)
+                score = w_adj - res * kv * sig_c / m2
+                up = (it % 2) == 0
+                allowed = run_valid & (~own) & jnp.where(up, k4 > lv, k4 < lv)
+                neg_inf = jnp.asarray(-jnp.inf, WEIGHT_DTYPE)
+                seg = jnp.where(run_valid, s4, span)
+                best = jax.ops.segment_max(
+                    jnp.where(allowed, score, neg_inf), seg, num_segments=span + 1
+                )[:span]
+                at_best = allowed & (score >= jnp.take(best, s_safe))
+                best_key = jax.ops.segment_min(
+                    jnp.where(at_best, k4, vtot), seg, num_segments=span + 1
+                )[:span]
+                own_w = jax.ops.segment_sum(
+                    jnp.where(run_valid & own, w_adj, 0.0), seg,
+                    num_segments=span + 1,
+                )[:span]
+                score_own = own_w - res * k_span * (
+                    jnp.take(sigma, jnp.minimum(lab_span, vtot - 1)) - k_span
+                ) / m2
+                do_move = (best > score_own + 1e-9) & (best_key < vtot)
+                new_span = jnp.where(do_move, best_key, lab_span).astype(jnp.int32)
+                # my own range sits at offset i*vp within the column span
+                new_local = jax.lax.dynamic_slice_in_dim(
+                    new_span, i_ax * vp, vp, axis=0
+                )
+                moved = mg_prims.transform_reduce_v(
+                    (new_local != labels).astype(jnp.int32)
+                )
+                return new_local, total_moves + moved, it + 1
+
+            def pair_cond(state):
+                labels, last_pair, total, it = state
+                return (last_pair > 0) & (it < max_sweeps)
+
+            def pair_body(state):
+                labels, _, total, it = state
+                l1, m1, it1 = sweep((labels, jnp.int32(0), it))
+                l2, m_pair, it2 = sweep((l1, m1, it1))
+                return l2, m_pair, total + m_pair, it2
+
+            labels0 = gid  # global singleton clusters
+            labels, _, total, _ = jax.lax.while_loop(
+                pair_cond,
+                pair_body,
+                (labels0, jnp.int32(1), jnp.int32(0), jnp.int32(0)),
+            )
+            return _wrap(labels), total
+
+        return run(*args)
+
+    return run_jit(jnp.asarray(resolution, WEIGHT_DTYPE), max_sweeps, *_graph_args(mgg))
+
+
+def mg_louvain(
+    mesh: Mesh,
+    mgg: MGGraph,
+    max_level: int = 100,
+    resolution: float = 1.0,
+    threshold: float = 1e-7,
+) -> Tuple[np.ndarray, float]:
+    """Distributed Louvain. Returns (labels (V,) numpy, modularity).
+
+    Level 1 runs distributed on the mesh; the contracted graph continues
+    through the SG dendrogram loop (see module docstring)."""
+    expects(mgg.is_symmetric, "louvain requires a symmetric graph")
+    labels_sh, moves = _mg_louvain_one_level(mesh, mgg, resolution, max_sweeps=64)
+    labels = unshard_vertex_values(mgg, labels_sh)
+    if int(moves) == 0:
+        from ..algos.community import modularity as sg_modularity
+
+        q = mg_modularity(mesh, mgg, labels_sh, resolution)
+        return labels.astype(NP_VERTEX_DTYPE), float(q)
+
+    # contract on host, continue SG
+    from ..core.coarsen import coarsen_graph
+    from ..core.csr import from_edgelist
+    from ..algos.community import louvain as sg_louvain, modularity as sg_modularity
+
+    src, dst, w = mg_decompress_to_edgelist(mgg)
+    g_full = from_edgelist(
+        src, dst, w, num_vertices=mgg.num_vertices, is_symmetric=True
+    )
+    coarse, cluster_ids = coarsen_graph(g_full, labels)
+    compact = np.searchsorted(cluster_ids, labels).astype(NP_VERTEX_DTYPE)
+    sub_labels, _ = sg_louvain(
+        coarse, max_level=max_level - 1, resolution=resolution, threshold=threshold
+    )
+    final = np.asarray(sub_labels)[compact]
+    q = sg_modularity(g_full, final, resolution)
+    return final.astype(NP_VERTEX_DTYPE), float(q)

@@ -104,3 +104,36 @@ def test_mg_random_walks(mesh, karate_sg, karate_mg):
         for a, b in zip(row[:-1], row[1:]):
             if a >= 0 and b >= 0:
                 assert (int(a), int(b)) in edges
+
+
+def test_mg_louvain(mesh, karate_sg, karate_mg):
+    import cugraph_tpu as cg
+    from cugraph_tpu.dist import mg_community
+
+    labels, q = mg_community.mg_louvain(mesh, karate_mg)
+    assert q > 0.35
+    # reported Q matches SG recomputation on the same labels
+    q_check = cg.modularity(karate_sg, labels)
+    np.testing.assert_allclose(q_check, q, rtol=1e-5)
+
+
+def test_mg_modularity_matches_sg(mesh, karate_sg, karate_mg):
+    import cugraph_tpu as cg
+    from cugraph_tpu.dist import mg_community
+    from cugraph_tpu.dist.mg_graph import shard_vertex_values
+
+    labels = np.array([0 if v < 17 else 1 for v in range(34)], dtype=np.int32)
+    q_sg = cg.modularity(karate_sg, labels)
+    q_mg = mg_community.mg_modularity(
+        mesh, karate_mg, shard_vertex_values(mesh, karate_mg, labels)
+    )
+    np.testing.assert_allclose(q_mg, q_sg, rtol=1e-5)
+
+
+def test_mg_decompress_roundtrip(mesh, karate_sg, karate_mg):
+    from cugraph_tpu.dist.mg_community import mg_decompress_to_edgelist
+    from cugraph_tpu.core.convert import decompress_to_edgelist
+
+    s1, d1, w1 = mg_decompress_to_edgelist(karate_mg)
+    s0, d0, w0 = decompress_to_edgelist(karate_sg)
+    assert set(zip(s1.tolist(), d1.tolist())) == set(zip(s0.tolist(), d0.tolist()))
