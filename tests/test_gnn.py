@@ -105,3 +105,45 @@ def test_graph_store(karate):
     np.testing.assert_allclose(np.asarray(feats), [[5.0, 10.0], [7.0, 14.0]])
     sub, vmap = store.egonet(0, k=1)
     assert len(vmap) >= 2
+
+
+def test_neighbor_loader(karate):
+    from cugraph_tpu.gnn import NeighborLoader
+
+    g, a, feats = karate
+    seeds = np.arange(20, dtype=np.int32)
+    loader = NeighborLoader(g, seeds, [4, 3], batch_size=8, seed=1)
+    assert len(loader) == 3
+    total_seeds = 0
+    for block in loader:
+        total_seeds += block.num_seeds
+        # seeds occupy compact ids [0, num_seeds)
+        np.testing.assert_array_equal(
+            block.n_ids[: block.num_seeds], block.seed_ids
+        )
+        # block edges are real graph edges under the id map
+        from cugraph_tpu.core.convert import decompress_to_edgelist
+
+        s, d, _ = decompress_to_edgelist(block.graph)
+        gs, gd = block.n_ids[s], block.n_ids[d]
+        real = set(
+            zip(
+                np.asarray(g.csr().majors)[: g.num_edges].tolist(),
+                np.asarray(g.csr().minors)[: g.num_edges].tolist(),
+            )
+        )
+        for u, v in zip(gs, gd):
+            assert (int(u), int(v)) in real
+        # forward pass over the block works
+        import jax
+
+        from cugraph_tpu.gnn import GraphSAGE
+
+        x = np.random.default_rng(0).normal(
+            size=(block.graph.num_vertices, 4)
+        ).astype(np.float32)
+        model = GraphSAGE(hidden_features=8, out_features=4)
+        params = model.init(jax.random.PRNGKey(0), block.graph, x)
+        out = model.apply(params, block.graph, x)
+        assert out.shape == (block.graph.num_vertices, 4)
+    assert total_seeds == 20
