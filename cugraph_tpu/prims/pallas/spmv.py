@@ -181,11 +181,6 @@ def build_pull_layout(
 # ---------------------------------------------------------------------------
 
 
-def _gather_kernel(x_ref, grow_ref, gwt_ref, out_ref):
-    vals = jnp.take_along_axis(x_ref[:], grow_ref[:], axis=0)
-    out_ref[:] = vals * gwt_ref[:]
-
-
 def _make_reduce_kernel():
     from jax.experimental import pallas as pl
 

@@ -63,10 +63,14 @@ def main():
 
     def loss_fn(params, block_graph, x, y, n_seeds):
         out = model.apply(params, block_graph, x)
-        logits = out[:n_seeds]
-        return optax.softmax_cross_entropy_with_integer_labels(
-            logits, y[:n_seeds]
-        ).mean()
+        # seeds occupy compact ids [0, n_seeds); mask the rest out
+        seed_mask = (
+            jnp.arange(out.shape[0]) < n_seeds
+        ).astype(jnp.float32)
+        per_node = optax.softmax_cross_entropy_with_integer_labels(out, y)
+        return jnp.sum(per_node * seed_mask) / jnp.maximum(
+            jnp.sum(seed_mask), 1.0
+        )
 
     @jax.jit
     def train_step(params, opt_state, block_graph, x, y, n_seeds):

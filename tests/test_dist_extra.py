@@ -137,3 +137,27 @@ def test_mg_decompress_roundtrip(mesh, karate_sg, karate_mg):
     s1, d1, w1 = mg_decompress_to_edgelist(karate_mg)
     s0, d0, w0 = decompress_to_edgelist(karate_sg)
     assert set(zip(s1.tolist(), d1.tolist())) == set(zip(s0.tolist(), d0.tolist()))
+
+
+def test_mg_jaccard_matches_sg(mesh, karate_sg, karate_mg):
+    import cugraph_tpu as cg
+    from cugraph_tpu.dist import mg_similarity
+
+    pairs = (np.array([0, 0, 1], dtype=np.int32), np.array([1, 33, 2], dtype=np.int32))
+    _, _, sg_coeff = cg.jaccard(karate_sg, pairs=pairs)
+    mg_coeff = mg_similarity.mg_jaccard(mesh, karate_mg, pairs)
+    np.testing.assert_allclose(
+        np.asarray(mg_coeff), np.asarray(sg_coeff), rtol=1e-5
+    )
+
+
+def test_mg_overlap_matches_sg(mesh, karate_sg, karate_mg):
+    import cugraph_tpu as cg
+    from cugraph_tpu.dist import mg_similarity
+
+    pairs = (np.array([2, 5], dtype=np.int32), np.array([3, 16], dtype=np.int32))
+    _, _, sg_coeff = cg.overlap(karate_sg, pairs=pairs)
+    mg_coeff = mg_similarity.mg_overlap(mesh, karate_mg, pairs)
+    np.testing.assert_allclose(
+        np.asarray(mg_coeff), np.asarray(sg_coeff), rtol=1e-5
+    )
