@@ -204,6 +204,11 @@ def from_edgelist(
         expects(weight.shape == src.shape, "weight length mismatch")
     if num_vertices is None:
         num_vertices = int(max(src.max(initial=-1), dst.max(initial=-1)) + 1)
+    # O(E) validation behind the expensive-check flag (the reference's
+    # do_expensive_check analog, utils/validation.py)
+    from ..utils import validation
+
+    validation.check_edgelist(src, dst, weight, num_vertices)
     if symmetrize:
         from .symmetrize import symmetrize_edgelist_np
 

@@ -79,3 +79,14 @@ def test_serialize_file(tmp_path):
 def test_serialize_rejects_garbage():
     with pytest.raises(Exception):
         deserialize_graph(b"not a graph")
+
+
+def test_expensive_checks_wired_into_ingest():
+    validation.set_expensive_checks(True)
+    try:
+        with pytest.raises(GraphError):
+            cg.from_edgelist(
+                np.array([0, 9]), np.array([1, 2]), num_vertices=3
+            )
+    finally:
+        validation.set_expensive_checks(False)
