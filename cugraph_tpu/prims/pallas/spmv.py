@@ -107,8 +107,9 @@ def build_pull_layout(
 ) -> PullLayout:
     """Build the lane-bucketed windowed layout from dst-sorted COO edges."""
     e = len(dsts)
-    dsts = np.asarray(dsts, dtype=np.int64)
-    srcs = np.asarray(srcs, dtype=np.int64)
+    # int32 throughout — the (2-core) ingest host pays ~4x for int64 passes
+    dsts = np.asarray(dsts, dtype=np.int32)
+    srcs = np.asarray(srcs, dtype=np.int32)
     w = (
         np.ones(e, dtype=NP_WEIGHT_DTYPE)
         if weights is None
@@ -116,37 +117,41 @@ def build_pull_layout(
     )
     # --- fixed dst windows of CAP_V ids; edge overflow -> subwindows ------
     n_base = -(-num_vertices // CAP_V)
-    base_starts = np.arange(0, (n_base + 1) * CAP_V, CAP_V, dtype=np.int64)
+    base_starts = np.arange(0, (n_base + 1) * CAP_V, CAP_V, dtype=np.int32)
 
     # --- assign each edge (base window, lane, position-in-lane) ----------
-    wid = dsts // CAP_V
+    cap_shift = CAP_V.bit_length() - 1
+    lane_shift = LANES.bit_length() - 1
+    wid = dsts >> cap_shift
     lane = srcs & (LANES - 1)
-    key = (wid * LANES + lane).astype(np.int32)
+    key = (wid << lane_shift) | lane
     order = np.argsort(key, kind="stable")  # dst order preserved per key
     key_s = key[order]
-    # position within each (window, lane) group
+    # position within each (window, lane) group via running group start
     first = np.ones(e, dtype=bool)
     first[1:] = key_s[1:] != key_s[:-1]
-    group_start_pos = np.nonzero(first)[0]
-    counts = np.diff(np.append(group_start_pos, e))
-    pos = np.arange(e, dtype=np.int64) - np.repeat(group_start_pos, counts)
-    sub = pos // LW
-    row = pos % LW
-    # subwindows per base window = ceil(max lane count / LW)
-    group_wid = key_s[group_start_pos] // LANES
-    wid_first = np.ones(len(group_wid), dtype=bool)
-    wid_first[1:] = group_wid[1:] != group_wid[:-1]
-    wid_group_starts = np.nonzero(wid_first)[0]
-    max_counts = np.maximum.reduceat(counts, wid_group_starts) if len(counts) else []
+    arange_e = np.arange(e, dtype=np.int32)
+    group_start_at = np.maximum.accumulate(np.where(first, arange_e, 0))
+    pos = arange_e - group_start_at
+    sub = pos >> (LW.bit_length() - 1)
+    row = pos & (LW - 1)
+    # subwindows per base window = max(sub)+1 over the window's groups;
+    # the last slot of each group carries the group's max pos
+    last = np.ones(e, dtype=bool)
+    last[:-1] = first[1:]
     nsub = np.ones(n_base, dtype=np.int64)
-    if len(group_wid):
-        nsub[group_wid[wid_group_starts]] = -(-np.asarray(max_counts) // LW)
-    nsub = np.maximum(nsub, 1)
+    if e:
+        g_sub = sub[last]  # per-group max position (groups in key order)
+        g_wid = key_s[last] >> lane_shift  # non-decreasing
+        wid_first = np.ones(len(g_wid), dtype=bool)
+        wid_first[1:] = g_wid[1:] != g_wid[:-1]
+        starts = np.nonzero(wid_first)[0]
+        nsub[g_wid[starts]] = np.maximum.reduceat(g_sub, starts) + 1
     sub_off = np.zeros(n_base + 1, dtype=np.int64)
     np.cumsum(nsub, out=sub_off[1:])
     nw = int(sub_off[-1])
 
-    win = sub_off[key_s // LANES] + sub  # final window per (sorted) edge
+    win = sub_off[key_s >> lane_shift] + sub  # final window per (sorted) edge
     slot_row = win * LW + row
     l_tot = nw * LW
     # pad rows to a multiple of the gather tile (r_rows)
@@ -160,7 +165,7 @@ def build_pull_layout(
     grow[slot_row, lane_s] = (srcs[order] >> 7).astype(NP_VERTEX_DTYPE)
     gwt[slot_row, lane_s] = w[order]
     gdl[slot_row, lane_s] = (
-        dsts[order] - base_starts[key_s // LANES]
+        dsts[order] - base_starts[key_s >> lane_shift]
     ).astype(NP_VERTEX_DTYPE)
 
     wstart = np.repeat(base_starts[:-1], nsub).astype(NP_VERTEX_DTYPE)
