@@ -152,3 +152,117 @@ def mg_sorensen(mesh, mgg, pairs):
 
 def mg_overlap(mesh, mgg, pairs):
     return mg_similarity(mesh, mgg, pairs, "overlap")
+
+
+def mg_triangle_count(
+    mesh: Mesh, mgg: MGGraph, batch_size: int = 4096
+) -> np.ndarray:
+    """Distributed per-vertex triangle counts.
+
+    Degree-oriented edges (src < dst on degree-sorted ids) are enumerated
+    host-side and processed in replicated batches against the DISTRIBUTED
+    adjacency via the same candidate-gather intersection as similarity —
+    the batching mirrors the reference's batched MG side paths
+    (tests/mg/test_mg_batch_betweenness_centrality.py pattern). Returns a
+    host (V,) array.
+    """
+    expects(mgg.is_symmetric, "triangle_count requires a symmetric graph")
+    from .mg_community import mg_decompress_to_edgelist
+
+    src, dst, _ = mg_decompress_to_edgelist(mgg)
+    keep = src < dst  # orientation: each triangle edge-pair counted once
+    src, dst = src[keep], dst[keep]
+    k = _max_local_degree(mgg)
+    counts = np.zeros(mgg.num_vertices, dtype=np.int64)
+    for lo in range(0, len(src), batch_size):
+        v1 = jnp.asarray(src[lo : lo + batch_size], jnp.int32)
+        v2 = jnp.asarray(dst[lo : lo + batch_size], jnp.int32)
+        inter, members = _mg_intersection_members(mesh, mgg, v1, v2, k)
+        inter = np.asarray(inter)
+        # each common neighbor x of edge (u,v) closes one triangle {u,v,x}:
+        # +1 to u, +1 to v, +1 to x
+        np.add.at(counts, src[lo : lo + batch_size], inter)
+        np.add.at(counts, dst[lo : lo + batch_size], inter)
+        mem = np.asarray(members)
+        hit = mem >= 0
+        np.add.at(counts, mem[hit], 1)
+    # every triangle {a,b,c} is found via each of its 3 unordered edges;
+    # each finding increments all 3 corners once (endpoints + third), so
+    # every vertex of every triangle accumulates exactly 3.
+    return (counts // 3).astype(np.int64)
+
+
+def _mg_intersection_members(
+    mesh: Mesh, mgg: MGGraph, v1: jax.Array, v2: jax.Array, k: int
+):
+    """Like _mg_intersection but also returns the matched common-neighbor
+    ids, shape (n, n_dev * k), -1 where unmatched (for triangle corners)."""
+    r, c, vp = mgg.rows, mgg.cols, mgg.vp
+    span = r * vp
+
+    @partial(jax.jit, static_argnames=("k",))
+    def run_jit(v1, v2, k, offsets, csr_dsts):
+        @partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(P(), P(), BLK3, BLK3),
+            out_specs=(P(), P()),
+        )
+        def run(v1, v2, offsets, csr_dsts):
+            offsets = offsets[0, 0]
+            csr_dsts = csr_dsts[0, 0]
+            j = jax.lax.axis_index("col")
+
+            def local_slice(verts):
+                local = verts - j * span
+                mine = (local >= 0) & (local < span)
+                safe = jnp.clip(local, 0, span - 1)
+                lo = jnp.take(offsets, safe)
+                deg = jnp.where(mine, jnp.take(offsets, safe + 1) - lo, 0)
+                return lo, deg, mine
+
+            lo1, deg1, _ = local_slice(v1)
+            slot = jnp.arange(k, dtype=jnp.int32)[None, :]
+            mask = slot < deg1[:, None]
+            eidx = jnp.clip(lo1[:, None] + slot, 0, csr_dsts.shape[0] - 1)
+            cand = jnp.where(mask, jnp.take(csr_dsts, eidx), -1)
+            cand_all = jax.lax.all_gather(cand, "row", axis=1, tiled=True)
+            cand_all = jax.lax.all_gather(cand_all, "col", axis=1, tiled=True)
+            lo2, deg2, mine2 = local_slice(v2)
+            import math
+
+            steps = max(
+                math.ceil(math.log2(max(int(csr_dsts.shape[0]), 2))) + 1, 1
+            )
+            q = cand_all
+            lo_b = jnp.broadcast_to(lo2[:, None], q.shape)
+            hi_b = jnp.broadcast_to((lo2 + deg2)[:, None], q.shape)
+
+            def body(_, st):
+                lo_, hi_ = st
+                mid = (lo_ + hi_) // 2
+                mv = jnp.take(csr_dsts, jnp.clip(mid, 0, csr_dsts.shape[0] - 1))
+                go = mv < q
+                act = lo_ < hi_
+                return (
+                    jnp.where(go & act, mid + 1, lo_),
+                    jnp.where(~go & act, mid, hi_),
+                )
+
+            lo_f, _ = jax.lax.fori_loop(0, steps, body, (lo_b, hi_b))
+            found = (lo_f < hi_b) & (
+                jnp.take(csr_dsts, jnp.clip(lo_f, 0, csr_dsts.shape[0] - 1)) == q
+            )
+            found = found & (q >= 0) & mine2[:, None]
+            inter_local = jnp.sum(found, axis=1).astype(jnp.int32)
+            inter = jax.lax.psum(jax.lax.psum(inter_local, "row"), "col")
+            # matched member ids: each (v2,x) edge exists on one device, so
+            # max-combining (-1 elsewhere) recovers the member id
+            members_local = jnp.where(found, q, -1)
+            members = jax.lax.pmax(jax.lax.pmax(members_local, "row"), "col")
+            return inter[None], members[None]
+
+        i, m = run(v1, v2, offsets, csr_dsts)
+        return i[0], m[0]
+
+    return run_jit(v1, v2, k, mgg.src_csr_offsets, mgg.src_csr_dsts)

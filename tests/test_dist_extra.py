@@ -161,3 +161,12 @@ def test_mg_overlap_matches_sg(mesh, karate_sg, karate_mg):
     np.testing.assert_allclose(
         np.asarray(mg_coeff), np.asarray(sg_coeff), rtol=1e-5
     )
+
+
+def test_mg_triangle_count_matches_sg(mesh, karate_sg, karate_mg):
+    import cugraph_tpu as cg
+    from cugraph_tpu.dist import mg_similarity
+
+    sg = np.asarray(cg.triangle_count(karate_sg))
+    mg = mg_similarity.mg_triangle_count(mesh, karate_mg)
+    np.testing.assert_array_equal(mg, sg)
