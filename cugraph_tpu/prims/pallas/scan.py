@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 LANES = 128
-TILE_ROWS = 512  # 256 KB f32 per tile block
+TILE_ROWS = 1536  # ~0.75 MB f32 per tile (VMEM-bounded; fewer grid steps)
 
 
 def _log_step_cumsum(x: jax.Array, axis: int) -> jax.Array:
