@@ -171,10 +171,14 @@ def louvain(
         coarse, cluster_ids = coarsen_graph(cur, labels_np)
         # compact labels: vertex -> index of its cluster in coarse graph
         compact = np.searchsorted(cluster_ids, labels_np).astype(NP_VERTEX_DTYPE)
-        labels_full = compact[labels_full]
-        q = modularity(g, jnp.asarray(labels_full), resolution)
+        # evaluate the level on a candidate copy; only commit if it improves
+        # (else the returned labels would belong to the rejected level while
+        # best_q reports the previous one — an inconsistent pair)
+        cand_full = compact[labels_full]
+        q = modularity(g, jnp.asarray(cand_full), resolution)
         if q <= best_q + threshold:
             break
+        labels_full = cand_full
         best_q = q
         cur = coarse
         if coarse.num_vertices == cur.num_vertices and coarse.num_vertices <= 1:

@@ -23,7 +23,7 @@ from ..utils.dtypes import WEIGHT_DTYPE
 from ..utils.error import expects
 
 
-@partial(jax.jit, static_argnames=("max_iterations", "has_personalization"))
+@partial(jax.jit, static_argnames=("max_iterations",))
 def _pagerank_jit(
     g: Graph,
     alpha,
@@ -31,7 +31,6 @@ def _pagerank_jit(
     reset,
     pr0,
     max_iterations: int,
-    has_personalization: bool,
     pull_layout=None,
 ):
     v = g.num_vertices
@@ -92,7 +91,9 @@ def pagerank(
     v = g.num_vertices
     expects(v > 0, "empty graph")
     layout = None
-    if use_pallas is not False and g.num_edges >= 1 << 18:
+    # explicit use_pallas=True bypasses the edge-count heuristic (build the
+    # layout or raise); the heuristic only gates the auto path
+    if use_pallas or (use_pallas is not False and g.num_edges >= 1 << 18):
         from ..prims.pallas.spmv import pull_layout_for
 
         layout = pull_layout_for(g)
@@ -119,7 +120,6 @@ def pagerank(
         reset,
         pr0,
         max_iterations,
-        personalization is not None,
         layout,
     )
     if fail_on_nonconvergence:

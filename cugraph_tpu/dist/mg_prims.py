@@ -257,19 +257,15 @@ def frontier_push_by_dst(
         )
     keep, payload = e_op(src_g, dst_g, sv, dv, weights)
     keep = keep & active
-    ident = reduce_op.identity(payload.dtype)
-    if payload.ndim > 2:
-        maskb = keep.reshape(keep.shape + (1,) * (payload.ndim - 2))
-    else:
-        maskb = keep
-    payload = jnp.where(maskb, payload, ident)
-    masked_dst = jnp.where(keep, dsts, vp)
-    partials = _block_reduce_by_dst(
-        payload, masked_dst, vp, reduce_op, keep | (dsts < vp)
-    )
+    # Keep the ORIGINAL (per-block dst-sorted) dsts so the sorted-scatter
+    # hint inside _block_reduce_by_dst stays truthful; non-kept edges are
+    # masked to the reduce identity (and to 0 for the touched count), so
+    # they contribute nothing. Masking interior dsts to vp would break the
+    # sort order the hint promises (undefined behavior on TPU backends).
+    partials = _block_reduce_by_dst(payload, dsts, vp, reduce_op, keep)
     reduced = _merge_dst_partials(partials, reduce_op)
     touched_part = _block_reduce_by_dst(
-        keep.astype(jnp.int32), masked_dst, vp, PLUS, keep
+        keep.astype(jnp.int32), dsts, vp, PLUS, keep
     )
     touched = (
         jax.lax.psum_scatter(

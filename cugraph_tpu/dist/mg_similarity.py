@@ -109,27 +109,85 @@ def _mg_intersection(mesh: Mesh, mgg: MGGraph, v1: jax.Array, v2: jax.Array, k: 
     return run_jit(v1, v2, k, mgg.src_csr_offsets, mgg.src_csr_dsts)
 
 
+def _mg_nbr_vertex_weight_sums(mesh: Mesh, mgg: MGGraph, vw_sharded) -> jax.Array:
+    """Per-vertex sum of neighbor VERTEX weights: out[u] = sum_{(u,x)} vw[x].
+
+    The weighted-similarity "neighborhood size" (ref similarity_impl.cuh
+    weighted path sums vertex weights over each neighborhood)."""
+    graph_args = mg_algos._graph_args(mgg)
+
+    @jax.jit
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=tuple([mg_algos.BLOCK] * len(graph_args)) + (mg_algos.VERT,),
+        out_specs=mg_algos.VERT,
+    )
+    def run(*args):
+        *gargs, vw = args
+        srcs, dsts, w, _ = mg_algos._split_args(tuple(gargs), mgg.weighted)
+        srcs, dsts, w = mg_algos._edge_args(mgg, srcs, dsts, w)
+
+        from . import mg_prims
+
+        def e_op(s, d, sv, dv, ww):
+            return dv
+
+        out = mg_prims.per_v_transform_reduce_outgoing_e(
+            srcs, dsts, None, mgg.vp, e_op, dst_values=vw[0, 0]
+        )
+        return mg_algos._wrap(out)
+
+    return run(*graph_args, vw_sharded)
+
+
 def mg_similarity(
     mesh: Mesh,
     mgg: MGGraph,
     pairs: Tuple,
     kind: str = "jaccard",
+    use_weight: bool = False,
 ) -> jax.Array:
-    """Similarity coefficients for replicated (v1, v2) pair arrays."""
+    """Similarity coefficients for replicated (v1, v2) pair arrays.
+
+    use_weight=True uses the reference's weighted semantics (matches the
+    SG path in algos/link_prediction.py): vertex weight w_x = sum of x's
+    incident edge weights; intersection weight = sum of w_x over common
+    neighbors; each endpoint's set size = sum of w_x over its own
+    neighborhood."""
     expects(mgg.is_symmetric, f"{kind} requires a symmetric graph")
     v1 = jnp.atleast_1d(jnp.asarray(pairs[0], jnp.int32))
     v2 = jnp.atleast_1d(jnp.asarray(pairs[1], jnp.int32))
     k = _max_local_degree(mgg)
-    inter = _mg_intersection(mesh, mgg, v1, v2, k).astype(WEIGHT_DTYPE)
-    deg = unshard_vertex_values(
-        mgg, mg_algos.mg_out_weight_sums(mesh, mgg)
-    )  # unweighted: degrees
-    if mgg.weighted:
-        # degrees (counts), not weight sums, define set sizes
-        ind = unshard_vertex_values(mgg, mg_algos.mg_in_degrees(mesh, mgg))
-        deg = ind.astype(np.float32)
-    a = jnp.asarray(deg)[v1]
-    b = jnp.asarray(deg)[v2]
+    vw_sharded = mg_algos.mg_out_weight_sums(mesh, mgg)
+    if use_weight:
+        expects(mgg.weighted, "weighted similarity requires edge weights")
+        vw = np.asarray(unshard_vertex_values(mgg, vw_sharded), dtype=np.float64)
+        _, members = _mg_intersection_members(mesh, mgg, v1, v2, k)
+        mem = np.asarray(members)
+        hit = mem >= 0
+        inter = jnp.asarray(
+            np.where(hit, vw[np.clip(mem, 0, mgg.num_vertices - 1)], 0.0).sum(
+                axis=1
+            ),
+            WEIGHT_DTYPE,
+        )
+        nbr = np.asarray(
+            unshard_vertex_values(
+                mgg, _mg_nbr_vertex_weight_sums(mesh, mgg, vw_sharded)
+            )
+        )
+        a = jnp.asarray(nbr)[v1]
+        b = jnp.asarray(nbr)[v2]
+    else:
+        inter = _mg_intersection(mesh, mgg, v1, v2, k).astype(WEIGHT_DTYPE)
+        deg = unshard_vertex_values(mgg, vw_sharded)  # unweighted: degrees
+        if mgg.weighted:
+            # degrees (counts), not weight sums, define set sizes
+            ind = unshard_vertex_values(mgg, mg_algos.mg_in_degrees(mesh, mgg))
+            deg = ind.astype(np.float32)
+        a = jnp.asarray(deg)[v1]
+        b = jnp.asarray(deg)[v2]
     if kind == "jaccard":
         denom = a + b - inter
     elif kind == "sorensen":
@@ -142,16 +200,16 @@ def mg_similarity(
     return jnp.where(denom > 0, inter / jnp.maximum(denom, 1e-30), 0.0)
 
 
-def mg_jaccard(mesh, mgg, pairs):
-    return mg_similarity(mesh, mgg, pairs, "jaccard")
+def mg_jaccard(mesh, mgg, pairs, use_weight: bool = False):
+    return mg_similarity(mesh, mgg, pairs, "jaccard", use_weight=use_weight)
 
 
-def mg_sorensen(mesh, mgg, pairs):
-    return mg_similarity(mesh, mgg, pairs, "sorensen")
+def mg_sorensen(mesh, mgg, pairs, use_weight: bool = False):
+    return mg_similarity(mesh, mgg, pairs, "sorensen", use_weight=use_weight)
 
 
-def mg_overlap(mesh, mgg, pairs):
-    return mg_similarity(mesh, mgg, pairs, "overlap")
+def mg_overlap(mesh, mgg, pairs, use_weight: bool = False):
+    return mg_similarity(mesh, mgg, pairs, "overlap", use_weight=use_weight)
 
 
 def mg_triangle_count(

@@ -84,10 +84,15 @@ def pull_layout_for(graph) -> Optional["PullLayout"]:
     if not pallas_spmv_available(graph.num_vertices):
         return None
     adj = graph.csc()
+    # Key on identity of the majors array, but keep a strong reference in
+    # the entry: CPython reuses addresses after GC, so a bare id() key can
+    # alias a dead graph's layout onto a new one. Holding the array pins
+    # the id for the life of the cache entry; the `is` check makes a stale
+    # hit impossible even across cache clears.
     key = id(adj.majors)
     hit = _LAYOUT_CACHE.get(key)
-    if hit is not None:
-        return hit
+    if hit is not None and hit[0] is adj.majors:
+        return hit[1]
     e = adj.num_edges
     dsts = np.asarray(adj.majors)[:e]
     srcs = np.asarray(adj.minors)[:e]
@@ -95,7 +100,7 @@ def pull_layout_for(graph) -> Optional["PullLayout"]:
     layout = build_pull_layout(dsts, srcs, w, graph.num_vertices)
     if len(_LAYOUT_CACHE) > 8:
         _LAYOUT_CACHE.clear()
-    _LAYOUT_CACHE[key] = layout
+    _LAYOUT_CACHE[key] = (adj.majors, layout)
     return layout
 
 

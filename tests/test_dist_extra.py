@@ -170,3 +170,15 @@ def test_mg_triangle_count_matches_sg(mesh, karate_sg, karate_mg):
     sg = np.asarray(cg.triangle_count(karate_sg))
     mg = mg_similarity.mg_triangle_count(mesh, karate_mg)
     np.testing.assert_array_equal(mg, sg)
+
+
+def test_mg_jaccard_weighted_matches_sg(mesh, karate_sg, karate_mg):
+    import cugraph_tpu as cg
+    from cugraph_tpu.dist import mg_similarity
+
+    pairs = (np.array([0, 0, 1], dtype=np.int32), np.array([1, 33, 2], dtype=np.int32))
+    _, _, sg_coeff = cg.jaccard(karate_sg, pairs=pairs, use_weight=True)
+    mg_coeff = mg_similarity.mg_jaccard(mesh, karate_mg, pairs, use_weight=True)
+    np.testing.assert_allclose(
+        np.asarray(mg_coeff), np.asarray(sg_coeff), rtol=1e-4
+    )
