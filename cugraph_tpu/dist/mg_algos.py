@@ -129,19 +129,43 @@ def mg_pagerank(
     alpha: float = 0.85,
     max_iterations: int = 100,
     tol: float = 1.0e-6,
+    personalization: Optional[Tuple] = None,
+    nstart=None,
+    fail_on_nonconvergence: bool = False,
+    gather_mode: str = "all_gather",
 ) -> Tuple[jax.Array, jax.Array]:
-    """Returns (pageranks (R, C, vp) sharded, iterations)."""
-    v = mgg.num_vertices
+    """Returns (pageranks (R, C, vp) sharded, iterations).
 
-    @partial(jax.jit, static_argnames=("max_iterations",))
-    def run_jit(alpha_, tol_, max_iterations, *args):
+    Full SG API parity (ref pagerank_impl.cuh personalization path):
+    personalization is a replicated (vertex_ids, values) pair; nstart a
+    global (V,) start vector. gather_mode="ring" uses the bounded-memory
+    ppermute ring (peak src-value temp ∝ vp, not R*vp)."""
+    v = mgg.num_vertices
+    has_pers = personalization is not None
+    if has_pers:
+        p_ids = jnp.atleast_1d(jnp.asarray(personalization[0], jnp.int32))
+        p_vals = jnp.atleast_1d(jnp.asarray(personalization[1], WEIGHT_DTYPE))
+    else:
+        p_ids = jnp.zeros(1, jnp.int32)
+        p_vals = jnp.zeros(1, WEIGHT_DTYPE)
+    if nstart is not None:
+        pr_start = shard_vertex_values(
+            mesh, mgg, np.asarray(nstart, dtype=np.float32)
+        )
+    else:
+        pr_start = shard_vertex_values(
+            mesh, mgg, np.zeros(v, dtype=np.float32)
+        )
+
+    @partial(jax.jit, static_argnames=("max_iterations", "use_pers", "use_nstart"))
+    def run_jit(alpha_, tol_, max_iterations, use_pers, use_nstart, pid, pval, pr_in, *args):
         @partial(
             shard_map,
             mesh=mesh,
-            in_specs=tuple([BLOCK] * len(args)),
-            out_specs=(VERT, P()),
+            in_specs=(P(), P(), VERT) + tuple([BLOCK] * len(args)),
+            out_specs=(VERT, P(), P()),
         )
-        def run(*gargs):
+        def run(pid, pval, pr_in, *gargs):
             srcs, dsts, w, _ = _split_args(gargs, mgg.weighted)
             srcs, dsts, w = _edge_args(mgg, srcs, dsts, w)
             gid, vmask = _local_ids(mgg)
@@ -154,8 +178,24 @@ def mg_pagerank(
             )
             dangling = vmask & (out_wsum <= 0)
             inv_out = jnp.where(out_wsum > 0, 1.0 / jnp.maximum(out_wsum, 1e-30), 0.0)
-            reset = jnp.where(vmask, 1.0 / v, 0.0).astype(WEIGHT_DTYPE)
-            pr0 = reset
+            if use_pers:
+                # replicated (ids, values) -> this device's local reset slice
+                local = jnp.sum(
+                    jnp.where(pid[None, :] == gid[:, None], pval[None, :], 0.0),
+                    axis=1,
+                )
+                total = mg_prims.transform_reduce_v(local)
+                reset = (local / jnp.maximum(total, 1e-30)).astype(WEIGHT_DTYPE)
+            else:
+                reset = jnp.where(vmask, 1.0 / v, 0.0).astype(WEIGHT_DTYPE)
+            if use_nstart:
+                p0 = pr_in[0, 0]
+                tot0 = mg_prims.transform_reduce_v(jnp.where(vmask, p0, 0.0))
+                pr0 = jnp.where(
+                    vmask, p0 / jnp.maximum(tot0, 1e-30), 0.0
+                ).astype(WEIGHT_DTYPE)
+            else:
+                pr0 = jnp.where(vmask, 1.0 / v, 0.0).astype(WEIGHT_DTYPE)
 
             def e_op(s, d, sv, dv, ww):
                 return sv if ww is None else sv * ww
@@ -168,7 +208,8 @@ def mg_pagerank(
                 pr, _, it = state
                 msg = pr * inv_out
                 agg = mg_prims.per_v_transform_reduce_incoming_e(
-                    srcs, dsts, w, mgg.vp, e_op, src_values=msg
+                    srcs, dsts, w, mgg.vp, e_op, src_values=msg,
+                    mode=gather_mode,
                 )
                 d_sum = mg_prims.transform_reduce_v(jnp.where(dangling, pr, 0.0))
                 new = alpha_ * (agg + d_sum * reset) + (1.0 - alpha_) * reset
@@ -176,19 +217,29 @@ def mg_pagerank(
                 diff = mg_prims.transform_reduce_v(jnp.abs(new - pr))
                 return new, diff, it + 1
 
-            pr, _, iters = jax.lax.while_loop(
+            pr, diff, iters = jax.lax.while_loop(
                 cond, body, (pr0, jnp.asarray(jnp.inf, WEIGHT_DTYPE), jnp.int32(0))
             )
-            return _wrap(pr), iters
+            return _wrap(pr), iters, diff
 
-        return run(*args)
+        return run(pid, pval, pr_in, *args)
 
-    return run_jit(
+    pr, iters, diff = run_jit(
         jnp.asarray(alpha, WEIGHT_DTYPE),
         jnp.asarray(tol, WEIGHT_DTYPE),
         max_iterations,
+        has_pers,
+        nstart is not None,
+        p_ids,
+        p_vals,
+        pr_start,
         *_graph_args(mgg),
     )
+    if fail_on_nonconvergence:
+        from ..utils.error import expects
+
+        expects(bool(diff <= v * tol), "MG PageRank failed to converge")
+    return pr, iters
 
 
 # ---------------------------------------------------------------------------

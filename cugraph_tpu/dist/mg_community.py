@@ -39,27 +39,18 @@ from .mg_graph import MGGraph, unshard_vertex_values
 
 
 def mg_decompress_to_edgelist(mgg: MGGraph):
-    """Sharded blocks -> host COO (src, dst, weight) with global ids."""
+    """Sharded blocks -> host COO (src, dst, weight) with global ids.
+
+    Vectorized mask-based extraction (padding slots carry dst == vp)."""
     r, c, vp = mgg.rows, mgg.cols, mgg.vp
-    srcs = np.asarray(mgg.srcs)
+    srcs = np.asarray(mgg.srcs)  # (R, C, C, R, g_pad)
     dsts = np.asarray(mgg.dsts)
     w = None if mgg.weights is None else np.asarray(mgg.weights)
-    out_s, out_d, out_w = [], [], []
-    for i in range(r):
-        for j in range(c):
-            for b in range(c):
-                n = int(np.asarray(mgg.block_counts)[i, j, b])
-                if not n:
-                    continue
-                ls = srcs[i, j, b, :n]
-                ld = dsts[i, j, b, :n]
-                out_s.append(ls + j * r * vp)
-                out_d.append(ld + (b * r + i) * vp)
-                if w is not None:
-                    out_w.append(w[i, j, b, :n])
-    src = np.concatenate(out_s) if out_s else np.zeros(0, NP_VERTEX_DTYPE)
-    dst = np.concatenate(out_d) if out_d else np.zeros(0, NP_VERTEX_DTYPE)
-    ww = np.concatenate(out_w) if out_w else None
+    i_ix, j_ix, b_ix, _, _ = np.indices(srcs.shape, sparse=True)
+    valid = dsts < vp
+    src = (srcs + j_ix * r * vp)[valid]
+    dst = (dsts + (b_ix * r + i_ix) * vp)[valid]
+    ww = w[valid] if w is not None else None
     return src.astype(NP_VERTEX_DTYPE), dst.astype(NP_VERTEX_DTYPE), ww
 
 
@@ -165,7 +156,7 @@ def _mg_louvain_one_level(mesh: Mesh, mgg: MGGraph, resolution: float, max_sweep
                 # dst labels for my blocks: (C, vp)
                 lab_blocks = mg_prims.gather_dst_values(labels)
                 key = jnp.take_along_axis(
-                    lab_blocks, jnp.minimum(dsts, vp - 1), axis=1
+                    lab_blocks, jnp.minimum(dsts.reshape(c, -1), vp - 1), axis=1
                 ).reshape(-1)
                 key = jnp.where(valid, key, vtot)
                 # local (src, key) run aggregation via two stable sorts

@@ -1,25 +1,38 @@
-"""Distributed (multi-chip) graph container + construction.
+"""Distributed (multi-chip) graph container + scalable construction.
 
 ref: cpp/src/structure/create_graph_from_edgelist_impl.cuh (edge shuffle by
-2D block -> renumber -> per-block compression) and graph_mg.cpp.
+2D block -> renumber -> per-block compression), renumber_edgelist_impl.cuh:96
+(degree-ordered distributed renumber map) and graph_view.hpp:588-594 (DCSR
+hypersparse storage).
 
-TPU-native: construction is a host-side numpy shuffle (ingest ETL, exactly
-once per graph), producing fixed-shape per-device block arrays that are
-device_put with a NamedSharding over the ("row", "col") mesh. Every block
-is padded to the global max block size so shard_map sees uniform shapes —
-the price of XLA static shapes, bounded by the RMAT/power-law imbalance and
-mitigated by the degree-scrambling renumber (hash-uniform dst ranges).
+TPU-native: construction is a host-side CHUNKED two-pass streaming shuffle
+(ingest ETL, exactly once per graph) — the analog of the reference's
+mem-frugal count-then-exchange (shuffle_comm.cuh:367). Pass 1 streams edge
+chunks and counts per (device, block, src-row) group; pass 2 streams again
+and scatters each chunk directly into the final padded group slots with one
+vectorized fancy-index per chunk (no per-block Python loops, and the full
+COO is never materialized twice — peak host memory = final padded arrays +
+one chunk). A per-device slab sort then orders each group by local dst.
 
-Edges in each block are sorted by local dst so per-block reductions are
-sorted segment sums. Local src ids index the device's column span
-(gathered over the "row" axis); local dst ids index the block's dst range
-(vp wide); padding slots carry dst = vp (discard bucket).
+Edge layout: device (i, j) holds (C blocks) x (R src-row groups) x g_pad
+slots. Group k of a block holds the edges whose src is owned by mesh row k
+(src in [k*vp, (k+1)*vp) of the column span) — the unit of the ppermute
+ring in mg_prims (bounded-memory gather: the reference's stream-pool
+edge-partition loop, per_v_transform_reduce_incoming_outgoing_e.cuh:578-625).
+Within a group, edges are sorted by local dst so per-(block, group)
+reductions are sorted segment sums. Padding slots carry dst = vp (discard).
+
+The src-side adjacency is stored HYPERSPARSE (DCSR): only sources with at
+least one local edge appear (src_nzd + offsets over them), so per-device
+index memory scales with local edges, not with the R*vp column span —
+the reference's use_dcs() path (graph_view.hpp:588, dcs_nzd_vertices in
+edge_partition_device_view.cuh:44-79).
 """
 
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Callable, Iterable, Optional, Sequence, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -36,17 +49,20 @@ from .partition import Partition2D
 class MGGraph:
     """Sharded 2D-partitioned graph.
 
-    Global array shapes (R, C, C, b_pad), sharded so device (i, j) holds
-    its [i, j] slice: C edge blocks of b_pad edge slots each.
+    Edge arrays have global shape (R, C, C, R, g_pad), sharded so device
+    (i, j) holds its [i, j] slice: C blocks x R src-row groups x g_pad
+    edge slots.
     """
 
     srcs: jax.Array  # local src in [0, R*vp) — column-span index
     dsts: jax.Array  # local dst in [0, vp); padding = vp
     weights: Optional[jax.Array]
     block_counts: jax.Array  # (R, C, C) int32 valid edges per block
-    # src-side CSR over this device's edges (sampling / push-by-row):
-    # offsets over the column span, dst ids GLOBAL (they cross blocks)
-    src_csr_offsets: Optional[jax.Array]  # (R, C, R*vp + 1) int32
+    # DCSR src-side adjacency (sampling / similarity / push-by-row):
+    # only non-zero-local-degree sources stored; dst ids GLOBAL
+    src_nzd: Optional[jax.Array]  # (R, C, nz_pad) int32 sorted colspan-local
+    #   src ids with >=1 local edge; padding = R*vp (span)
+    src_nzd_offsets: Optional[jax.Array]  # (R, C, nz_pad + 1) int32
     src_csr_dsts: Optional[jax.Array]  # (R, C, d_pad) int32 global dst
     src_csr_weights: Optional[jax.Array]  # (R, C, d_pad) f32 | None
     rows: int = dataclasses.field(metadata=dict(static=True))
@@ -66,12 +82,265 @@ class MGGraph:
         )
 
     @property
-    def b_pad(self) -> int:
+    def g_pad(self) -> int:
         return int(self.srcs.shape[-1])
+
+    @property
+    def b_pad(self) -> int:
+        """Edge slots per block (= R groups x g_pad)."""
+        return int(self.srcs.shape[-2] * self.srcs.shape[-1])
 
     @property
     def weighted(self) -> bool:
         return self.weights is not None
+
+
+ChunkSource = Union[
+    Sequence[Tuple[np.ndarray, np.ndarray, Optional[np.ndarray]]],
+    Callable[[], Iterable[Tuple[np.ndarray, np.ndarray, Optional[np.ndarray]]]],
+]
+
+
+def _chunk_iter(chunks: ChunkSource):
+    if callable(chunks):
+        return chunks()
+    return iter(chunks)
+
+
+def mg_renumber_map(chunks: ChunkSource, num_vertices: int) -> np.ndarray:
+    """Degree-descending renumber map from streamed edge chunks.
+
+    The chunked analog of the reference's distributed compute_renumber_map
+    (renumber_edgelist_impl.cuh:96): one streaming pass accumulates total
+    degrees; ids are then ordered degree-descending (stable). Returns
+    new_to_old; peak memory = O(V) regardless of E."""
+    degrees = np.zeros(num_vertices, dtype=np.int64)
+    for chunk in _chunk_iter(chunks):
+        src, dst = chunk[0], chunk[1]
+        degrees += np.bincount(src, minlength=num_vertices)
+        degrees += np.bincount(dst, minlength=num_vertices)
+    return np.argsort(-degrees, kind="stable").astype(NP_VERTEX_DTYPE)
+
+
+def distribute_edgelist_chunks(
+    mesh: Mesh,
+    chunks: ChunkSource,
+    *,
+    num_vertices: int,
+    symmetrize: bool = False,
+    is_symmetric: bool = False,
+    renumber: bool = False,
+    build_src_csr: bool = True,
+) -> Union[MGGraph, Tuple[MGGraph, np.ndarray]]:
+    """Chunked two-pass 2D shuffle: the scalable MG ingest path.
+
+    chunks: a sequence (re-iterable) or zero-arg callable returning an
+    iterator of (src, dst, weight|None) numpy chunks with int ids in
+    [0, num_vertices). The full COO is never materialized: pass 1 counts
+    per (device, block, src-row) group, pass 2 scatters each chunk into
+    its final padded slots. symmetrize=True emits both directions per
+    chunk (no cross-chunk coalescing — parallel edges are kept, as in the
+    reference's multigraph ingest).
+
+    renumber=True prepends a degree-counting pass (mg_renumber_map) and
+    returns (graph, new_to_old).
+
+    ref: create_graph_from_edgelist_impl.cuh; the count-then-exchange
+    structure is shuffle_comm.cuh:367 (mem_frugal_partition).
+    """
+    expects(
+        tuple(mesh.axis_names) == ("row", "col"),
+        "mesh must have axes ('row', 'col')",
+    )
+    r, c = mesh.devices.shape
+    part = Partition2D.create(r, c, num_vertices)
+    vp = part.vp
+    span = r * vp
+
+    old_to_new = None
+    if renumber:
+        new_to_old = mg_renumber_map(chunks, num_vertices)
+        old_to_new = np.empty_like(new_to_old)
+        old_to_new[new_to_old] = np.arange(len(new_to_old), dtype=NP_VERTEX_DTYPE)
+
+    def prep(chunk):
+        src = np.asarray(chunk[0])
+        dst = np.asarray(chunk[1])
+        w = chunk[2] if len(chunk) > 2 else None
+        if old_to_new is not None:
+            src = old_to_new[src]
+            dst = old_to_new[dst]
+        if symmetrize:
+            src, dst = np.concatenate([src, dst]), np.concatenate([dst, src])
+            if w is not None:
+                w = np.concatenate([w, w])
+        if w is not None:
+            w = np.asarray(w, dtype=NP_WEIGHT_DTYPE)
+        return src, dst, w
+
+    def group_ids(src, dst):
+        # device (i, j), block b, src-row group k; see partition.py
+        q_d = dst // vp
+        i = q_d % r
+        b = q_d // r
+        q_s = src // vp
+        j = q_s // r
+        k = q_s % r
+        return (((i * c + j) * c + b) * r + k).astype(np.int64)
+
+    # ---- pass 1: group counts -------------------------------------------
+    n_groups = r * c * c * r
+    counts = np.zeros(n_groups, dtype=np.int64)
+    weighted = False
+    num_edges = 0
+    for chunk in _chunk_iter(chunks):
+        src, dst, w = prep(chunk)
+        weighted = weighted or (w is not None)
+        num_edges += len(src)
+        counts += np.bincount(group_ids(src, dst), minlength=n_groups)
+
+    g_pad = round_up(max(int(counts.max(initial=0)), 1), LANE)
+    srcs_np = np.zeros(n_groups * g_pad, dtype=NP_VERTEX_DTYPE)
+    dsts_np = np.full(n_groups * g_pad, vp, dtype=NP_VERTEX_DTYPE)
+    w_np = np.zeros(n_groups * g_pad, dtype=NP_WEIGHT_DTYPE) if weighted else None
+
+    # ---- pass 2: vectorized scatter into final slots --------------------
+    cursors = np.zeros(n_groups, dtype=np.int64)
+    for chunk in _chunk_iter(chunks):
+        src, dst, w = prep(chunk)
+        gid = group_ids(src, dst)
+        order = np.argsort(gid, kind="stable")
+        gs = gid[order]
+        n = len(gs)
+        if not n:
+            continue
+        first = np.ones(n, dtype=bool)
+        first[1:] = gs[1:] != gs[:-1]
+        ar = np.arange(n, dtype=np.int64)
+        start_at = np.maximum.accumulate(np.where(first, ar, 0))
+        rank = ar - start_at
+        slots = gs * g_pad + cursors[gs] + rank
+        j_of = (src // span).astype(np.int64)
+        srcs_np[slots] = (src - j_of * span)[order].astype(NP_VERTEX_DTYPE)
+        dsts_np[slots] = (dst % vp)[order].astype(NP_VERTEX_DTYPE)
+        if w_np is not None:
+            if w is None:
+                w = np.ones(n, dtype=NP_WEIGHT_DTYPE)
+            w_np[slots] = w[order]
+        cursors += np.bincount(gid, minlength=n_groups)
+
+    # ---- per-device slab sort: order each group by local dst ------------
+    # (bounded memory: one device slab of c*r*g_pad slots at a time)
+    slab = c * r * g_pad
+    group_of = np.repeat(
+        np.arange(c * r, dtype=np.int64), g_pad
+    )  # group index within device slab
+    for d_id in range(r * c):
+        lo = d_id * slab
+        key = group_of * (vp + 2) + dsts_np[lo : lo + slab]
+        order = np.argsort(key, kind="stable")
+        srcs_np[lo : lo + slab] = srcs_np[lo + order]
+        dsts_np[lo : lo + slab] = dsts_np[lo + order]
+        if w_np is not None:
+            w_np[lo : lo + slab] = w_np[lo + order]
+
+    block_counts = (
+        counts.reshape(r, c, c, r).sum(axis=-1).astype(np.int32)
+    )
+
+    # ---- DCSR src-side adjacency per device -----------------------------
+    nzd_list, off_list, dst_list, w_list = [], [], [], []
+    max_nz, max_d = 1, 1
+    if build_src_csr:
+        sr5 = srcs_np.reshape(r, c, c, r, g_pad)
+        ds5 = dsts_np.reshape(r, c, c, r, g_pad)
+        wr5 = w_np.reshape(r, c, c, r, g_pad) if w_np is not None else None
+        for i in range(r):
+            for j in range(c):
+                ls = sr5[i, j].reshape(-1)
+                ld = ds5[i, j].reshape(-1)
+                valid = ld < vp
+                b_of = np.repeat(np.arange(c, dtype=np.int64), r * g_pad)
+                gdst = ld.astype(np.int64) + (b_of * r + i) * vp
+                s_v = ls[valid].astype(np.int64)
+                d_v = gdst[valid]
+                w_v = wr5[i, j].reshape(-1)[valid] if wr5 is not None else None
+                order = np.lexsort((d_v, s_v))
+                s_v, d_v = s_v[order], d_v[order]
+                if w_v is not None:
+                    w_v = w_v[order]
+                nzd, cnt = np.unique(s_v, return_counts=True)
+                off = np.zeros(len(nzd) + 1, dtype=np.int64)
+                np.cumsum(cnt, out=off[1:])
+                nzd_list.append(nzd)
+                off_list.append(off)
+                dst_list.append(d_v)
+                w_list.append(w_v)
+                max_nz = max(max_nz, len(nzd))
+                max_d = max(max_d, len(d_v))
+
+    shard = NamedSharding(mesh, P("row", "col"))
+    srcs = jax.device_put(srcs_np.reshape(r, c, c, r, g_pad), shard)
+    dsts = jax.device_put(dsts_np.reshape(r, c, c, r, g_pad), shard)
+    wts = (
+        jax.device_put(w_np.reshape(r, c, c, r, g_pad), shard)
+        if w_np is not None
+        else None
+    )
+    bc = jax.device_put(block_counts, shard)
+
+    src_nzd = src_off = src_dsts = src_w = None
+    if build_src_csr:
+        nz_pad = round_up(max_nz, LANE)
+        d_pad = round_up(max_d, LANE)
+        nzd_np = np.full((r * c, nz_pad), span, dtype=NP_VERTEX_DTYPE)
+        off_np = np.zeros((r * c, nz_pad + 1), dtype=NP_VERTEX_DTYPE)
+        sd_np = np.full((r * c, d_pad), -1, dtype=NP_VERTEX_DTYPE)
+        sw_np = (
+            np.zeros((r * c, d_pad), dtype=NP_WEIGHT_DTYPE) if weighted else None
+        )
+        for d_id in range(r * c):
+            # loop index is (i * c + j) to match the (R, C, ...) reshape
+            nzd, off, dv, wv = (
+                nzd_list[d_id],
+                off_list[d_id],
+                dst_list[d_id],
+                w_list[d_id],
+            )
+            nzd_np[d_id, : len(nzd)] = nzd
+            off_np[d_id, 1 : len(off)] = off[1:]
+            off_np[d_id, len(off) :] = off[-1]
+            sd_np[d_id, : len(dv)] = dv
+            if sw_np is not None and wv is not None:
+                sw_np[d_id, : len(dv)] = wv
+        src_nzd = jax.device_put(nzd_np.reshape(r, c, nz_pad), shard)
+        src_off = jax.device_put(off_np.reshape(r, c, nz_pad + 1), shard)
+        src_dsts = jax.device_put(sd_np.reshape(r, c, d_pad), shard)
+        src_w = (
+            jax.device_put(sw_np.reshape(r, c, d_pad), shard)
+            if sw_np is not None
+            else None
+        )
+
+    mgg = MGGraph(
+        srcs=srcs,
+        dsts=dsts,
+        weights=wts,
+        block_counts=bc,
+        src_nzd=src_nzd,
+        src_nzd_offsets=src_off,
+        src_csr_dsts=src_dsts,
+        src_csr_weights=src_w,
+        rows=r,
+        cols=c,
+        vp=vp,
+        num_vertices=int(num_vertices),
+        num_edges=int(num_edges),
+        is_symmetric=bool(is_symmetric or symmetrize),
+    )
+    if renumber:
+        return mgg, new_to_old
+    return mgg
 
 
 def distribute_edgelist(
@@ -84,18 +353,11 @@ def distribute_edgelist(
     symmetrize: bool = False,
     is_symmetric: bool = False,
 ) -> MGGraph:
-    """Host-side 2D shuffle + per-block compression + device_put.
+    """Single-shot ingest: one-chunk wrapper over the chunked builder.
 
     The edge-to-(device, block) routing implements the reference's
     shuffle_edgelist_by_gpu_id + groupby_and_count_edgelist_by_local_
-    partition_id (detail/shuffle_wrappers.hpp:42,:126) as one vectorized
-    numpy pass.
-    """
-    expects(
-        tuple(mesh.axis_names) == ("row", "col"),
-        "mesh must have axes ('row', 'col')",
-    )
-    r, c = mesh.devices.shape
+    partition_id (detail/shuffle_wrappers.hpp:42,:126)."""
     src = np.asarray(src, dtype=np.int64)
     dst = np.asarray(dst, dtype=np.int64)
     if symmetrize:
@@ -111,99 +373,11 @@ def distribute_edgelist(
         weight = np.asarray(weight, dtype=NP_WEIGHT_DTYPE)
     if num_vertices is None:
         num_vertices = int(max(src.max(initial=-1), dst.max(initial=-1)) + 1)
-    part = Partition2D.create(r, c, num_vertices)
-    vp = part.vp
-
-    i_arr, j_arr, b_arr = part.edge_block(src, dst)
-    flat = ((i_arr * c + j_arr) * c + b_arr).astype(np.int64)
-    # group edges by (device, block), then by local dst within the block
-    local_dst = (dst % vp).astype(NP_VERTEX_DTYPE)
-    local_src = (src - j_arr * r * vp).astype(NP_VERTEX_DTYPE)
-    order = np.lexsort((local_src, local_dst, flat))
-    flat, local_src, local_dst = flat[order], local_src[order], local_dst[order]
-    if weight is not None:
-        weight = weight[order]
-
-    n_blocks = r * c * c
-    counts = np.bincount(flat, minlength=n_blocks)
-    b_pad = round_up(max(int(counts.max(initial=0)), 1), LANE)
-    srcs_np = np.zeros((n_blocks, b_pad), dtype=NP_VERTEX_DTYPE)
-    dsts_np = np.full((n_blocks, b_pad), vp, dtype=NP_VERTEX_DTYPE)
-    w_np = (
-        np.zeros((n_blocks, b_pad), dtype=NP_WEIGHT_DTYPE)
-        if weight is not None
-        else None
-    )
-    starts = np.zeros(n_blocks + 1, dtype=np.int64)
-    np.cumsum(counts, out=starts[1:])
-    for blk in range(n_blocks):
-        lo, hi = starts[blk], starts[blk + 1]
-        n = hi - lo
-        if n:
-            srcs_np[blk, :n] = local_src[lo:hi]
-            dsts_np[blk, :n] = local_dst[lo:hi]
-            if w_np is not None:
-                w_np[blk, :n] = weight[lo:hi]
-
-    # --- src-side CSR per device (for sampling / push-by-row prims) -------
-    dev = (i_arr * c + j_arr).astype(np.int64)  # device of each edge (orig order)
-    span = r * vp
-    order2 = np.lexsort((dst, src, dev))
-    dev2, src2, dst2 = dev[order2], src[order2], dst[order2]
-    w2 = weight[order2] if weight is not None else None
-    dev_counts = np.bincount(dev2, minlength=r * c)
-    d_pad = round_up(max(int(dev_counts.max(initial=0)), 1), LANE)
-    so_np = np.zeros((r * c, span + 1), dtype=NP_VERTEX_DTYPE)
-    sd_np = np.full((r * c, d_pad), -1, dtype=NP_VERTEX_DTYPE)
-    sw_np = (
-        np.zeros((r * c, d_pad), dtype=NP_WEIGHT_DTYPE)
-        if weight is not None
-        else None
-    )
-    dstarts = np.zeros(r * c + 1, dtype=np.int64)
-    np.cumsum(dev_counts, out=dstarts[1:])
-    for d_id in range(r * c):
-        lo, hi = dstarts[d_id], dstarts[d_id + 1]
-        n = hi - lo
-        j_of = d_id % c
-        if n:
-            local_s = (src2[lo:hi] - j_of * span).astype(np.int64)
-            np.cumsum(
-                np.bincount(local_s, minlength=span), out=so_np[d_id, 1:]
-            )
-            sd_np[d_id, :n] = dst2[lo:hi]
-            if sw_np is not None:
-                sw_np[d_id, :n] = w2[lo:hi]
-
-    shard = NamedSharding(mesh, P("row", "col"))
-    srcs = jax.device_put(srcs_np.reshape(r, c, c, b_pad), shard)
-    dsts = jax.device_put(dsts_np.reshape(r, c, c, b_pad), shard)
-    w = (
-        jax.device_put(w_np.reshape(r, c, c, b_pad), shard)
-        if w_np is not None
-        else None
-    )
-    bc = jax.device_put(
-        counts.reshape(r, c, c).astype(np.int32), shard
-    )
-    return MGGraph(
-        srcs=srcs,
-        dsts=dsts,
-        weights=w,
-        block_counts=bc,
-        src_csr_offsets=jax.device_put(so_np.reshape(r, c, span + 1), shard),
-        src_csr_dsts=jax.device_put(sd_np.reshape(r, c, d_pad), shard),
-        src_csr_weights=(
-            jax.device_put(sw_np.reshape(r, c, d_pad), shard)
-            if sw_np is not None
-            else None
-        ),
-        rows=r,
-        cols=c,
-        vp=vp,
+    return distribute_edgelist_chunks(
+        mesh,
+        [(src, dst, weight)],
         num_vertices=int(num_vertices),
-        num_edges=int(len(src)),
-        is_symmetric=bool(is_symmetric),
+        is_symmetric=is_symmetric,
     )
 
 
@@ -228,14 +402,13 @@ def shard_vertex_values(mesh: Mesh, mgg: MGGraph, values: np.ndarray) -> jax.Arr
     gets range q = j*R + i (column-major, matching Partition2D)."""
     part = mgg.partition
     v_pad = part.v_padded
+    values = np.asarray(values)
     padded = np.zeros((v_pad,) + values.shape[1:], dtype=values.dtype)
-    padded[: len(values)] = np.asarray(values)
+    padded[: len(values)] = values
     # range q = j*R + i  ->  arr[i, j] = padded[q]
     chunks = padded.reshape(part.cols, part.rows, part.vp, *values.shape[1:])
     arr = np.swapaxes(chunks, 0, 1)  # (R, C, vp, ...)
-    return jax.device_put(
-        arr, NamedSharding(mesh, P("row", "col"))
-    )
+    return jax.device_put(arr, NamedSharding(mesh, P("row", "col")))
 
 
 def unshard_vertex_values(mgg: MGGraph, arr) -> np.ndarray:

@@ -8,10 +8,26 @@ column span); device_reduce to the owner rank -> psum_scatter over axis
 allreduce -> scalar psum over both axes, folded into the jitted loop.
 
 All functions here run INSIDE shard_map over a ("row", "col") mesh. Local
-array shapes: vertex state (vp,), edge blocks (C, b_pad). The e_op
-signature matches the SG prims (global src/dst ids, gathered values,
-weights) so algorithm bodies stay identical — the reference's key invariant
-("algorithms never talk to the communicator", SURVEY.md §1).
+array shapes: vertex state (vp,), edge blocks (C, R, g_pad) — C blocks,
+each split into R src-row groups (group k holds the edges whose src lives
+in [k*vp, (k+1)*vp) of the column span, dst-sorted within the group; see
+mg_graph.py). The e_op signature matches the SG prims (global src/dst ids,
+gathered values, weights) so algorithm bodies stay identical — the
+reference's key invariant ("algorithms never talk to the communicator",
+SURVEY.md §1).
+
+Two gather modes for the src side:
+
+- "all_gather": materialize the (R*vp,) column span per step (the
+  reference's update_edge_src_property bcast over col_comm). Peak temp
+  memory per device grows with R.
+- "ring": a ppermute ring over the "row" axis — R steps, each holding ONE
+  (vp,) chunk while reducing the matching src-row group, then rotating the
+  chunk to the next row. Peak temp ∝ vp, independent of R: the TPU analog
+  of the reference's bounded-memory stream-pool edge-partition loop
+  (per_v_transform_reduce_incoming_outgoing_e.cuh:578-625 — "peak memory
+  requirement per loop is V/comm_size"). XLA overlaps the collective
+  permute with the current group's reduction.
 """
 
 from __future__ import annotations
@@ -35,7 +51,9 @@ def _my_coords():
 
 
 def _global_edge_ids(srcs, dsts, vp):
-    """Reconstruct global src/dst ids for e_op parity with SG prims."""
+    """Reconstruct global src/dst ids for e_op parity with SG prims.
+
+    srcs/dsts: (C, R, g_pad) block-grouped local ids."""
     r, c = _axis_sizes()
     i, j = _my_coords()
     src_g = srcs + j * r * vp  # column-span offset
@@ -51,23 +69,31 @@ def _block_reduce_by_dst(
     reduce_op: ReduceOp,
     valid: jax.Array,
 ) -> jax.Array:
-    """(C, b_pad) edge values -> (C, vp) per-block dst partials."""
-    c = e_vals.shape[0]
+    """(C, R, g_pad) edge values -> (C, vp) per-block dst partials.
+
+    dsts are sorted within each (block, group), so segment ids keyed by
+    (block, group, dst) are globally sorted — the hint stays truthful."""
+    c, r, _ = e_vals.shape[:3]
     ident = reduce_op.identity(e_vals.dtype)
-    if e_vals.ndim > 2:
-        mask = valid.reshape(valid.shape + (1,) * (e_vals.ndim - 2))
+    if e_vals.ndim > 3:
+        mask = valid.reshape(valid.shape + (1,) * (e_vals.ndim - 3))
     else:
         mask = valid
     e_vals = jnp.where(mask, e_vals, ident)
     b = jax.lax.broadcasted_iota(jnp.int32, dsts.shape, 0)
-    seg = b * (vp + 1) + dsts  # padding dst == vp -> discard bucket
+    k = jax.lax.broadcasted_iota(jnp.int32, dsts.shape, 1)
+    seg = (b * r + k) * (vp + 1) + dsts  # padding dst == vp -> discard bucket
     flat = reduce_op.segment(
-        e_vals.reshape((-1,) + e_vals.shape[2:]),
+        e_vals.reshape((-1,) + e_vals.shape[3:]),
         seg.reshape(-1),
-        num_segments=c * (vp + 1),
+        num_segments=c * r * (vp + 1),
         indices_are_sorted=True,
     )
-    out = flat.reshape((c, vp + 1) + flat.shape[1:])[:, :vp]
+    grouped = flat.reshape((c, r, vp + 1) + flat.shape[1:])[:, :, :vp]
+    # fold the R groups of each block together
+    out = grouped[:, 0]
+    for kk in range(1, r):
+        out = reduce_op.combine(out, grouped[:, kk])
     return out
 
 
@@ -86,6 +112,22 @@ def _merge_dst_partials(partials: jax.Array, reduce_op: ReduceOp) -> jax.Array:
         merged = jax.lax.pmax(partials, COL)
     j = jax.lax.axis_index(COL)
     return jax.lax.dynamic_index_in_dim(merged, j, axis=0, keepdims=False)
+
+
+def dcsr_lookup(nzd: jax.Array, nzd_offsets: jax.Array, local_ids: jax.Array):
+    """Hypersparse (DCSR) adjacency lookup: (lo, deg) for colspan-local
+    src ids. nzd is the sorted list of sources with >=1 local edge
+    (padding = span sorts last); absent sources get deg 0.
+
+    ref: the use_dcs() path — major_hypersparse_idx_from_major binary
+    search (edge_partition_device_view.cuh:44-79)."""
+    pos = jnp.searchsorted(nzd, local_ids)
+    safe = jnp.minimum(pos, nzd.shape[0] - 1)
+    found = jnp.take(nzd, safe) == local_ids
+    lo = jnp.take(nzd_offsets, safe)
+    hi = jnp.take(nzd_offsets, safe + 1)
+    deg = jnp.where(found, hi - lo, 0)
+    return lo, deg
 
 
 def gather_src_values(values_local: Any) -> Any:
@@ -112,6 +154,21 @@ def gather_dst_values(values_local: Any) -> Any:
     )
 
 
+def _take_dst_blocks(blocks: Any, dsts: jax.Array, vp: int) -> Any:
+    """Per-edge dst values from (C, vp, ...) block ranges; dsts (C, R, g)."""
+    c = dsts.shape[0]
+    flat = dsts.reshape(c, -1)
+    safe = jnp.minimum(flat, vp - 1)
+
+    def take_block(a):
+        out = jnp.take_along_axis(
+            a, safe.reshape(safe.shape + (1,) * (a.ndim - 2)), axis=1
+        )
+        return out.reshape(dsts.shape + a.shape[2:])
+
+    return jax.tree.map(take_block, blocks)
+
+
 def _edge_values(
     srcs,
     dsts,
@@ -128,16 +185,7 @@ def _edge_values(
         sv = jax.tree.map(lambda a: jnp.take(a, srcs, axis=0), span)
     if dst_values_local is not None:
         blocks = gather_dst_values(dst_values_local)  # (C, vp, ...)
-        safe = jnp.minimum(dsts, vp - 1)
-
-        def take_block(a):
-            return jnp.take_along_axis(
-                a,
-                safe.reshape(safe.shape + (1,) * (a.ndim - 2)),
-                axis=1,
-            )
-
-        dv = jax.tree.map(take_block, blocks)
+        dv = _take_dst_blocks(blocks, dsts, vp)
     return e_op(src_g, dst_g, sv, dv, weights)
 
 
@@ -152,15 +200,89 @@ def per_v_transform_reduce_incoming_e(
     init: Any = None,
     src_values: Any = None,
     dst_values: Any = None,
+    mode: str = "all_gather",
 ) -> jax.Array:
     """MG pull-reduce: returns (vp, ...) values for this device's own range.
 
     ref: per_v_transform_reduce_incoming_outgoing_e.cuh update_major path
-    (:915-966): local per-block segment reduce + reduce to owner."""
+    (:915-966): local per-block segment reduce + reduce to owner.
+    mode="ring" bounds peak src-value temp memory to one (vp,) chunk."""
+    if mode == "ring" and src_values is not None:
+        return _incoming_e_ring(
+            srcs, dsts, weights, vp, e_op, reduce_op, init, src_values, dst_values
+        )
     e_vals = _edge_values(srcs, dsts, weights, vp, e_op, src_values, dst_values)
     valid = dsts < vp
     partials = _block_reduce_by_dst(e_vals, dsts, vp, reduce_op, valid)
     out = _merge_dst_partials(partials, reduce_op)
+    if init is not None:
+        out = reduce_op.combine(out, jnp.asarray(init, dtype=out.dtype))
+    return out
+
+
+def _incoming_e_ring(
+    srcs, dsts, weights, vp, e_op, reduce_op, init, src_values, dst_values
+):
+    """Bounded-memory pull-reduce: R ppermute steps over the "row" axis.
+
+    Step t holds the (vp,) src-value chunk of mesh row k = (i + t) mod R
+    and reduces exactly group k of every block (group k's srcs live in
+    [k*vp, (k+1)*vp)), then forwards the chunk to the previous row — so
+    the chunk from row k reaches row i at step t = (k - i) mod R. Peak
+    src-side temp = one chunk, vs the R*vp column span of all_gather."""
+    r, c = _axis_sizes()
+    i, j = _my_coords()
+    g_pad = srcs.shape[-1]
+    dv_blocks = gather_dst_values(dst_values) if dst_values is not None else None
+    # ring: send to previous row; after t steps we hold row (i + t)'s chunk
+    perm = [(p, (p - 1) % r) for p in range(r)]
+    ident = None
+
+    def one_group(k, chunk, acc):
+        """Reduce src-row group k of every block with chunk = row k's
+        (vp, ...) src values; accumulate (C, vp) partials."""
+        s_k = jax.lax.dynamic_index_in_dim(srcs, k, axis=1, keepdims=False)
+        d_k = jax.lax.dynamic_index_in_dim(dsts, k, axis=1, keepdims=False)
+        w_k = (
+            None
+            if weights is None
+            else jax.lax.dynamic_index_in_dim(weights, k, axis=1, keepdims=False)
+        )
+        src_g = s_k + j * r * vp
+        b = jax.lax.broadcasted_iota(jnp.int32, s_k.shape, 0)
+        dst_g = d_k + (b * r + i) * vp
+        s_local = jnp.clip(s_k - k * vp, 0, vp - 1)  # padding slots clamp
+        sv = jax.tree.map(lambda a: jnp.take(a, s_local, axis=0), chunk)
+        dv = (
+            None
+            if dv_blocks is None
+            else _take_dst_blocks(dv_blocks, d_k[:, None, :], vp)
+        )
+        dv = None if dv is None else jax.tree.map(lambda a: a[:, 0], dv)
+        e_vals = e_op(src_g, dst_g, sv, dv, w_k)
+        idn = reduce_op.identity(e_vals.dtype)
+        valid = d_k < vp
+        if e_vals.ndim > 2:
+            valid = valid.reshape(valid.shape + (1,) * (e_vals.ndim - 2))
+        e_vals = jnp.where(valid, e_vals, idn)
+        bb = jax.lax.broadcasted_iota(jnp.int32, d_k.shape, 0)
+        seg = bb * (vp + 1) + d_k
+        part = reduce_op.segment(
+            e_vals.reshape((-1,) + e_vals.shape[2:]),
+            seg.reshape(-1),
+            num_segments=c * (vp + 1),
+            indices_are_sorted=True,
+        ).reshape((c, vp + 1) + e_vals.shape[2:])[:, :vp]
+        return reduce_op.combine(acc, part) if acc is not None else part
+
+    # step 0 processes my own row's chunk (no communication)
+    chunk = src_values
+    acc = one_group(i, chunk, None)
+    for t in range(1, r):
+        chunk = jax.tree.map(lambda a: jax.lax.ppermute(a, ROW, perm), chunk)
+        k = (i + t) % r
+        acc = one_group(k, chunk, acc)
+    out = _merge_dst_partials(acc, reduce_op)
     if init is not None:
         out = reduce_op.combine(out, jnp.asarray(init, dtype=out.dtype))
     return out
@@ -184,15 +306,15 @@ def per_v_transform_reduce_outgoing_e(
     e_vals = _edge_values(srcs, dsts, weights, vp, e_op, src_values, dst_values)
     valid = dsts < vp
     ident = reduce_op.identity(e_vals.dtype)
-    if e_vals.ndim > 2:
-        mask = valid.reshape(valid.shape + (1,) * (e_vals.ndim - 2))
+    if e_vals.ndim > 3:
+        mask = valid.reshape(valid.shape + (1,) * (e_vals.ndim - 3))
     else:
         mask = valid
     e_vals = jnp.where(mask, e_vals, ident)
     span = r * vp
     seg = jnp.where(valid, srcs, span)
     partial = reduce_op.segment(
-        e_vals.reshape((-1,) + e_vals.shape[2:]),
+        e_vals.reshape((-1,) + e_vals.shape[3:]),
         seg.reshape(-1),
         num_segments=span + 1,
     )[:span]
@@ -248,20 +370,13 @@ def frontier_push_by_dst(
         sv = jax.tree.map(lambda a: jnp.take(a, srcs, axis=0), span)
     if dst_values is not None:
         blocks = gather_dst_values(dst_values)
-        safe = jnp.minimum(dsts, vp - 1)
-        dv = jax.tree.map(
-            lambda a: jnp.take_along_axis(
-                a, safe.reshape(safe.shape + (1,) * (a.ndim - 2)), axis=1
-            ),
-            blocks,
-        )
+        dv = _take_dst_blocks(blocks, dsts, vp)
     keep, payload = e_op(src_g, dst_g, sv, dv, weights)
     keep = keep & active
-    # Keep the ORIGINAL (per-block dst-sorted) dsts so the sorted-scatter
+    # Keep the ORIGINAL (per-group dst-sorted) dsts so the sorted-scatter
     # hint inside _block_reduce_by_dst stays truthful; non-kept edges are
     # masked to the reduce identity (and to 0 for the touched count), so
-    # they contribute nothing. Masking interior dsts to vp would break the
-    # sort order the hint promises (undefined behavior on TPU backends).
+    # they contribute nothing.
     partials = _block_reduce_by_dst(payload, dsts, vp, reduce_op, keep)
     reduced = _merge_dst_partials(partials, reduce_op)
     touched_part = _block_reduce_by_dst(

@@ -114,7 +114,7 @@ def _mg_sample_level(mesh: Mesh, mgg: MGGraph, seeds: jax.Array, u: jax.Array):
     r, c, vp = mgg.rows, mgg.cols, mgg.vp
     span = r * vp
 
-    args = [mgg.src_csr_offsets, mgg.src_csr_dsts]
+    args = [mgg.src_nzd, mgg.src_nzd_offsets, mgg.src_csr_dsts]
 
     @jax.jit
     def run_jit(seeds, u, *gargs):
@@ -124,16 +124,19 @@ def _mg_sample_level(mesh: Mesh, mgg: MGGraph, seeds: jax.Array, u: jax.Array):
             in_specs=(P(), P()) + tuple([BLOCK3] * len(gargs)),
             out_specs=(P(), P()),
         )
-        def run(seeds, u, offsets, csr_dsts):
-            offsets = offsets[0, 0]  # (span + 1,)
+        def run(seeds, u, nzd, nzd_off, csr_dsts):
+            from . import mg_prims
+
+            nzd = nzd[0, 0]  # (nz_pad,) DCSR non-zero-degree sources
+            nzd_off = nzd_off[0, 0]
             csr_dsts = csr_dsts[0, 0]  # (d_pad,)
             j = jax.lax.axis_index("col")
             # seeds in my column span -> local index; else clamp with mask
             local = seeds - j * span
             mine = (local >= 0) & (local < span)
             safe = jnp.clip(local, 0, span - 1)
-            lo = jnp.take(offsets, safe)
-            deg_local = jnp.where(mine, jnp.take(offsets, safe + 1) - lo, 0)
+            lo, deg0 = mg_prims.dcsr_lookup(nzd, nzd_off, safe)
+            deg_local = jnp.where(mine, deg0, 0)
             # degree prefix across the column (devices i = 0..R-1)
             degs_all = jax.lax.all_gather(deg_local, "row", axis=0)  # (R, n)
             i = jax.lax.axis_index("row")

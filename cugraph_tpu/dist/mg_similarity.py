@@ -33,7 +33,7 @@ BLK3 = P("row", "col", None)
 
 
 def _max_local_degree(mgg: MGGraph) -> int:
-    off = np.asarray(mgg.src_csr_offsets)  # (R, C, span+1)
+    off = np.asarray(mgg.src_nzd_offsets)  # (R, C, nz_pad+1) DCSR
     d = np.diff(off, axis=-1)
     return max(int(d.max(initial=0)), 1)
 
@@ -44,15 +44,18 @@ def _mg_intersection(mesh: Mesh, mgg: MGGraph, v1: jax.Array, v2: jax.Array, k: 
     n_dev = r * c
 
     @partial(jax.jit, static_argnames=("k",))
-    def run_jit(v1, v2, k, offsets, csr_dsts):
+    def run_jit(v1, v2, k, nzd, nzd_off, csr_dsts):
         @partial(
             shard_map,
             mesh=mesh,
-            in_specs=(P(), P(), BLK3, BLK3),
+            in_specs=(P(), P(), BLK3, BLK3, BLK3),
             out_specs=P(),
         )
-        def run(v1, v2, offsets, csr_dsts):
-            offsets = offsets[0, 0]
+        def run(v1, v2, nzd, nzd_off, csr_dsts):
+            from . import mg_prims
+
+            nzd = nzd[0, 0]
+            nzd_off = nzd_off[0, 0]
             csr_dsts = csr_dsts[0, 0]
             j = jax.lax.axis_index("col")
             n = v1.shape[0]
@@ -61,8 +64,8 @@ def _mg_intersection(mesh: Mesh, mgg: MGGraph, v1: jax.Array, v2: jax.Array, k: 
                 local = verts - j * span
                 mine = (local >= 0) & (local < span)
                 safe = jnp.clip(local, 0, span - 1)
-                lo = jnp.take(offsets, safe)
-                deg = jnp.where(mine, jnp.take(offsets, safe + 1) - lo, 0)
+                lo, deg0 = mg_prims.dcsr_lookup(nzd, nzd_off, safe)
+                deg = jnp.where(mine, deg0, 0)
                 return lo, deg, mine
 
             lo1, deg1, mine1 = local_slice(v1)
@@ -104,9 +107,9 @@ def _mg_intersection(mesh: Mesh, mgg: MGGraph, v1: jax.Array, v2: jax.Array, k: 
             inter_local = jnp.sum(found, axis=1).astype(jnp.int32)
             return jax.lax.psum(jax.lax.psum(inter_local, "row"), "col")[None]
 
-        return run(v1, v2, offsets, csr_dsts)[0]
+        return run(v1, v2, nzd, nzd_off, csr_dsts)[0]
 
-    return run_jit(v1, v2, k, mgg.src_csr_offsets, mgg.src_csr_dsts)
+    return run_jit(v1, v2, k, mgg.src_nzd, mgg.src_nzd_offsets, mgg.src_csr_dsts)
 
 
 def _mg_nbr_vertex_weight_sums(mesh: Mesh, mgg: MGGraph, vw_sharded) -> jax.Array:
@@ -259,15 +262,18 @@ def _mg_intersection_members(
     span = r * vp
 
     @partial(jax.jit, static_argnames=("k",))
-    def run_jit(v1, v2, k, offsets, csr_dsts):
+    def run_jit(v1, v2, k, nzd, nzd_off, csr_dsts):
         @partial(
             shard_map,
             mesh=mesh,
-            in_specs=(P(), P(), BLK3, BLK3),
+            in_specs=(P(), P(), BLK3, BLK3, BLK3),
             out_specs=(P(), P()),
         )
-        def run(v1, v2, offsets, csr_dsts):
-            offsets = offsets[0, 0]
+        def run(v1, v2, nzd, nzd_off, csr_dsts):
+            from . import mg_prims
+
+            nzd = nzd[0, 0]
+            nzd_off = nzd_off[0, 0]
             csr_dsts = csr_dsts[0, 0]
             j = jax.lax.axis_index("col")
 
@@ -275,8 +281,8 @@ def _mg_intersection_members(
                 local = verts - j * span
                 mine = (local >= 0) & (local < span)
                 safe = jnp.clip(local, 0, span - 1)
-                lo = jnp.take(offsets, safe)
-                deg = jnp.where(mine, jnp.take(offsets, safe + 1) - lo, 0)
+                lo, deg0 = mg_prims.dcsr_lookup(nzd, nzd_off, safe)
+                deg = jnp.where(mine, deg0, 0)
                 return lo, deg, mine
 
             lo1, deg1, _ = local_slice(v1)
@@ -320,7 +326,7 @@ def _mg_intersection_members(
             members = jax.lax.pmax(jax.lax.pmax(members_local, "row"), "col")
             return inter[None], members[None]
 
-        i, m = run(v1, v2, offsets, csr_dsts)
+        i, m = run(v1, v2, nzd, nzd_off, csr_dsts)
         return i[0], m[0]
 
-    return run_jit(v1, v2, k, mgg.src_csr_offsets, mgg.src_csr_dsts)
+    return run_jit(v1, v2, k, mgg.src_nzd, mgg.src_nzd_offsets, mgg.src_csr_dsts)

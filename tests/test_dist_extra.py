@@ -182,3 +182,145 @@ def test_mg_jaccard_weighted_matches_sg(mesh, karate_sg, karate_mg):
     np.testing.assert_allclose(
         np.asarray(mg_coeff), np.asarray(sg_coeff), rtol=1e-4
     )
+
+
+def test_mg_pagerank_personalized_matches_sg(mesh, karate_sg, karate_mg):
+    ids = np.array([0, 33], dtype=np.int32)
+    vals = np.array([0.7, 0.3], dtype=np.float32)
+    pr_sg, _ = cg.pagerank(karate_sg, personalization=(ids, vals), tol=1e-8)
+    pr_mg, _ = mg_algos.mg_pagerank(
+        mesh, karate_mg, personalization=(ids, vals), tol=1e-8
+    )
+    np.testing.assert_allclose(
+        unshard_vertex_values(karate_mg, pr_mg),
+        np.asarray(pr_sg),
+        rtol=1e-4,
+        atol=1e-7,
+    )
+
+
+def test_mg_pagerank_nstart_converges_same(mesh, karate_sg, karate_mg):
+    rng = np.random.default_rng(0)
+    n0 = rng.random(34).astype(np.float32)
+    pr_sg, _ = cg.pagerank(karate_sg, nstart=n0, tol=1e-9)
+    pr_mg, _ = mg_algos.mg_pagerank(mesh, karate_mg, nstart=n0, tol=1e-9)
+    np.testing.assert_allclose(
+        unshard_vertex_values(karate_mg, pr_mg),
+        np.asarray(pr_sg),
+        rtol=1e-4,
+        atol=1e-7,
+    )
+
+
+def test_mg_pagerank_ring_matches_all_gather(mesh, karate_sg, karate_mg):
+    """Bounded-memory ppermute ring == full all_gather == SG."""
+    pr_sg, _ = cg.pagerank(karate_sg, tol=1e-9)
+    pr_ring, _ = mg_algos.mg_pagerank(
+        mesh, karate_mg, tol=1e-9, gather_mode="ring"
+    )
+    np.testing.assert_allclose(
+        unshard_vertex_values(karate_mg, pr_ring),
+        np.asarray(pr_sg),
+        rtol=1e-4,
+        atol=1e-7,
+    )
+
+
+def test_ring_prim_has_no_row_all_gather(mesh, karate_mg):
+    """The ring path must not materialize the R*vp column span: its jaxpr
+    contains ppermute but no all_gather over axis "row" (peak src temp is
+    one (vp,) chunk — the bounded-memory property, VERDICT #4)."""
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+    from cugraph_tpu.dist import mg_prims
+    from cugraph_tpu.dist.mg_algos import BLOCK, VERT, _edge_args, _graph_args, _split_args, _wrap
+
+    mgg = karate_mg
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(VERT,) + tuple([BLOCK] * len(_graph_args(mgg))),
+        out_specs=VERT,
+    )
+    def ring_fn(x, *gargs):
+        srcs, dsts, w, _ = _split_args(gargs, mgg.weighted)
+        srcs, dsts, w = _edge_args(mgg, srcs, dsts, w)
+        out = mg_prims.per_v_transform_reduce_incoming_e(
+            srcs, dsts, w, mgg.vp,
+            lambda s, d, sv, dv, ww: sv, src_values=x[0, 0], mode="ring",
+        )
+        return _wrap(out)
+
+    x = jax.device_put(
+        np.zeros((mgg.rows, mgg.cols, mgg.vp), np.float32), karate_mg.srcs.sharding
+    )
+    jaxpr = str(jax.make_jaxpr(ring_fn)(x, *_graph_args(mgg)))
+    assert "ppermute" in jaxpr
+    import re
+    for m in re.finditer(r"all_gather[^\n]*axis_name=\(?'?(\w+)", jaxpr):
+        assert m.group(1) != "row", "ring path must not all_gather over row"
+
+
+def test_chunked_builder_matches_single_shot(mesh, karate_sg, karate_mg):
+    from cugraph_tpu.dist.mg_graph import distribute_edgelist_chunks
+    from cugraph_tpu.core.convert import decompress_to_edgelist
+
+    src, dst, w = decompress_to_edgelist(karate_sg)
+    n = len(src)
+    cuts = [0, n // 3, 2 * n // 3, n]
+    chunks = [
+        (src[a:b], dst[a:b], w[a:b] if w is not None else None)
+        for a, b in zip(cuts[:-1], cuts[1:])
+    ]
+    mgg2 = distribute_edgelist_chunks(
+        mesh, chunks, num_vertices=karate_sg.num_vertices, is_symmetric=True
+    )
+    pr_sg, _ = cg.pagerank(karate_sg, tol=1e-9)
+    pr_mg, _ = mg_algos.mg_pagerank(mesh, mgg2, tol=1e-9)
+    np.testing.assert_allclose(
+        unshard_vertex_values(mgg2, pr_mg), np.asarray(pr_sg), rtol=1e-4, atol=1e-7
+    )
+    # identical edge multiset as the single-shot ingest
+    from cugraph_tpu.dist.mg_community import mg_decompress_to_edgelist
+
+    s1, d1, _ = mg_decompress_to_edgelist(karate_mg)
+    s2, d2, _ = mg_decompress_to_edgelist(mgg2)
+    assert sorted(zip(s1.tolist(), d1.tolist())) == sorted(
+        zip(s2.tolist(), d2.tolist())
+    )
+
+
+def test_chunked_renumber(mesh, karate_sg):
+    """renumber=True orders ids degree-descending and preserves results."""
+    from cugraph_tpu.dist.mg_graph import distribute_edgelist_chunks
+    from cugraph_tpu.core.convert import decompress_to_edgelist
+
+    src, dst, w = decompress_to_edgelist(karate_sg)
+    mgg2, new_to_old = distribute_edgelist_chunks(
+        mesh,
+        [(src, dst, w)],
+        num_vertices=karate_sg.num_vertices,
+        is_symmetric=True,
+        renumber=True,
+    )
+    deg = np.bincount(src, minlength=34) + np.bincount(dst, minlength=34)
+    d_sorted = deg[new_to_old]
+    assert (np.diff(d_sorted) <= 0).all()
+    pr_sg, _ = cg.pagerank(karate_sg, tol=1e-9)
+    pr_mg, _ = mg_algos.mg_pagerank(mesh, mgg2, tol=1e-9)
+    got = unshard_vertex_values(mgg2, pr_mg)[np.argsort(new_to_old)]
+    np.testing.assert_allclose(got, np.asarray(pr_sg), rtol=1e-4, atol=1e-7)
+
+
+def test_dcsr_index_memory_independent_of_span(mesh, karate_mg):
+    """DCSR: per-device src-index memory scales with local edges, not with
+    the R*vp column span (ref graph_view.hpp:588-594)."""
+    nz_pad = karate_mg.src_nzd.shape[-1]
+    d_pad = karate_mg.src_csr_dsts.shape[-1]
+    # index arrays are bounded by edge storage, not span+1
+    assert karate_mg.src_nzd_offsets.shape[-1] == nz_pad + 1
+    assert nz_pad <= d_pad  # at most one nzd entry per local edge (padded)
