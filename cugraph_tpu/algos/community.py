@@ -74,7 +74,9 @@ def modularity(g: Graph, labels, resolution: float = 1.0) -> float:
 
 
 @partial(jax.jit, static_argnames=("max_sweeps",))
-def _louvain_one_level(g: Graph, resolution, max_sweeps: int):
+def _louvain_one_level(
+    g: Graph, resolution, max_sweeps: int, labels0=None, constraint=None
+):
     """Local-moving phase: returns (labels, num_moves_total).
 
     Candidate score for vertex v and cluster c (constants in v dropped):
@@ -82,6 +84,11 @@ def _louvain_one_level(g: Graph, resolution, max_sweeps: int):
     move to argmax_c f if it strictly beats staying (f_own), with the
     up/down alternation (even sweeps: only moves to larger labels; odd:
     smaller) preventing two-cycle oscillation of the synchronous update.
+
+    labels0: initial assignment (default singletons). constraint: a (V,)
+    community array restricting moves to clusters whose members share the
+    vertex's constraint community — the Leiden refinement phase
+    (ref: leiden_impl.cuh refine step).
     """
     v = g.num_vertices
     k = g.out_weight_sums()
@@ -109,6 +116,13 @@ def _louvain_one_level(g: Graph, resolution, max_sweeps: int):
         # up/down constraint (ref: common_methods.cuh up_down flag)
         up = (it % 2) == 0
         allowed = run_valid & (~own) & jnp.where(up, keys > lv, keys < lv)
+        if constraint is not None:
+            # refinement: moves stay within the vertex's parent community
+            # (labels are vertex ids, so constraint[key] is the candidate
+            # cluster's parent community)
+            c_k = jnp.take(constraint, jnp.minimum(keys, v - 1))
+            c_v = jnp.take(constraint, s_safe)
+            allowed = allowed & (c_k == c_v)
         neg_inf = jnp.asarray(-jnp.inf, WEIGHT_DTYPE)
         seg = jnp.where(run_valid, srcs, v)
         best = jax.ops.segment_max(
@@ -140,9 +154,13 @@ def _louvain_one_level(g: Graph, resolution, max_sweeps: int):
         l2, m_pair, it2 = sweep((l1, m1, it1))
         return l2, m_pair, total + m_pair, it2
 
-    labels0 = jnp.arange(v, dtype=jnp.int32)
+    init = (
+        jnp.arange(v, dtype=jnp.int32)
+        if labels0 is None
+        else jnp.asarray(labels0, jnp.int32)
+    )
     labels, _, total_moves, _ = jax.lax.while_loop(
-        pair_cond, pair_body, (labels0, jnp.int32(1), jnp.int32(0), jnp.int32(0))
+        pair_cond, pair_body, (init, jnp.int32(1), jnp.int32(0), jnp.int32(0))
     )
     return labels, total_moves
 
@@ -192,11 +210,47 @@ def leiden(
     resolution: float = 1.0,
     threshold: float = 1e-7,
 ) -> Tuple[jax.Array, float]:
-    """Leiden clustering (ref: leiden_impl.cuh wraps the Louvain machinery;
-    this build follows the same structure and inherits Louvain's move
-    phase; the refinement phase is planned for the keyed prim — the
-    reference 22.10 Leiden is likewise a thin Louvain wrapper)."""
-    return louvain(g, max_level=max_level, resolution=resolution, threshold=threshold)
+    """Leiden clustering (Traag et al. 2019; ref: leiden_impl.cuh).
+
+    Each level: (1) Louvain local moving produces partition P (seeded by
+    the previous level's projected communities); (2) a REFINEMENT pass
+    restarts from singletons and moves vertices only within their P
+    community — splitting badly-connected communities; (3) the graph is
+    aggregated on the REFINED partition while P seeds the next level.
+    Communities in the returned clustering are internally connected (the
+    Leiden guarantee Louvain lacks)."""
+    expects(g.is_symmetric, "leiden requires a symmetric graph")
+    cur = g
+    refc = np.arange(g.num_vertices, dtype=NP_VERTEX_DTYPE)  # orig -> cur id
+    res = jnp.asarray(resolution, WEIGHT_DTYPE)
+    best_labels = refc.copy()
+    best_q = modularity(g, jnp.asarray(refc), resolution)
+    labels0 = None  # level 0 starts from singletons
+    for _level in range(max_level):
+        p_lab, moves = _louvain_one_level(cur, res, 64, labels0=labels0)
+        if int(moves) == 0 and _level > 0:
+            break
+        r_lab, _ = _louvain_one_level(cur, res, 32, constraint=p_lab)
+        p_np = np.asarray(p_lab)
+        r_np = np.asarray(r_lab)
+        cand = p_np[refc]  # reported partition = move phase, flattened
+        q = modularity(g, jnp.asarray(cand), resolution)
+        if q <= best_q + threshold:
+            break
+        best_q = q
+        best_labels = cand
+        coarse, cluster_ids = coarsen_graph(cur, r_np)
+        compact_r = np.searchsorted(cluster_ids, r_np).astype(NP_VERTEX_DTYPE)
+        refc = compact_r[refc]
+        # seed next level with P projected onto the refined clusters
+        _, labels0 = np.unique(p_np[cluster_ids], return_inverse=True)
+        labels0 = jnp.asarray(labels0.astype(NP_VERTEX_DTYPE))
+        cur = coarse
+        if coarse.num_vertices <= 1:
+            break
+    # canonicalize labels to [0, n_communities)
+    _, out = np.unique(best_labels, return_inverse=True)
+    return jnp.asarray(out.astype(NP_VERTEX_DTYPE)), float(best_q)
 
 
 # ---------------------------------------------------------------------------

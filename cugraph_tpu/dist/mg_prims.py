@@ -114,6 +114,157 @@ def _merge_dst_partials(partials: jax.Array, reduce_op: ReduceOp) -> jax.Array:
     return jax.lax.dynamic_index_in_dim(merged, j, axis=0, keepdims=False)
 
 
+def _bucket_by(dest: jax.Array, valid: jax.Array, n_buckets: int, capacity: int):
+    """Group items into fixed-capacity buckets by destination id.
+
+    Returns (slot_of_item (n,), kept (n,), counts (n_buckets,)) where
+    slot = dest * capacity + within-bucket rank; items past capacity are
+    dropped (kept=False) and reported via counts for overflow checks."""
+    n = dest.shape[0]
+    d = jnp.where(valid, dest, n_buckets)  # invalid -> discard bucket
+    order = jnp.argsort(d, stable=True)
+    d_sorted = jnp.take(d, order)
+    pos = jnp.arange(n, dtype=jnp.int32)
+    first = jnp.concatenate(
+        [jnp.ones((1,), bool), d_sorted[1:] != d_sorted[:-1]]
+    )
+    start_at = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(first, pos, 0)
+    )
+    rank_sorted = pos - start_at
+    # scatter rank back to item order
+    rank = jnp.zeros(n, jnp.int32).at[order].set(rank_sorted)
+    kept = valid & (rank < capacity)
+    slot = jnp.where(kept, jnp.minimum(dest, n_buckets - 1) * capacity + rank, 0)
+    counts = jax.ops.segment_sum(
+        valid.astype(jnp.int32), jnp.minimum(d, n_buckets), num_segments=n_buckets + 1
+    )[:n_buckets]
+    return slot, kept, counts
+
+
+def _shuffle_axis(items: Any, dest: jax.Array, valid: jax.Array, axis: str, capacity: int):
+    """One-axis bucketed all_to_all (the reference's shuffle_values,
+    shuffle_comm.cuh:679): route (dest, item) pairs to device `dest` along
+    a mesh axis with fixed per-bucket capacity.
+
+    items: pytree of (n, ...) arrays. Returns (items_rx pytree of
+    (P*capacity, ...), valid_rx (P*capacity,), overflow (scalar int))."""
+    p = jax.lax.axis_size(axis)
+    slot, kept, counts = _bucket_by(dest, valid, p, capacity)
+
+    oob = p * capacity  # out-of-bounds index -> dropped by mode="drop"
+    put = jnp.where(kept, slot, oob)
+
+    def place(a):
+        buf_shape = (p * capacity,) + a.shape[1:]
+        return (
+            jnp.zeros(buf_shape, a.dtype)
+            .at[put]
+            .set(a, mode="drop")
+            .reshape((p, capacity) + a.shape[1:])
+        )
+
+    sent = jax.tree.map(place, items)
+    vbuf = (
+        jnp.zeros(p * capacity, jnp.bool_)
+        .at[put]
+        .set(kept, mode="drop")
+        .reshape(p, capacity)
+    )
+    rx = jax.tree.map(
+        lambda a: jax.lax.all_to_all(a, axis, split_axis=0, concat_axis=0),
+        sent,
+    )
+    v_rx = jax.lax.all_to_all(vbuf, axis, split_axis=0, concat_axis=0)
+    overflow = jnp.sum(jnp.maximum(counts - capacity, 0))
+    overflow = jax.lax.psum(jax.lax.psum(overflow, ROW), COL)
+    flat = jax.tree.map(lambda a: a.reshape((p * capacity,) + a.shape[2:]), rx)
+    return flat, v_rx.reshape(-1), overflow
+
+
+def shuffle_to_vertex_owners(
+    keys: jax.Array,
+    items: Any,
+    valid: jax.Array,
+    vp: int,
+    capacity: int,
+):
+    """Route (global vertex key, item) pairs to the key owner device via
+    two bucketed all_to_all stages (column first, then row) — the runtime
+    analog of groupby_gpu_id_and_shuffle_values (shuffle_comm.cuh:729).
+
+    capacity is PER BUCKET per stage. Returns (keys_rx, items_rx,
+    valid_rx, overflow): arrays of C*capacity... then R*capacity items
+    after the second stage; overflow counts items dropped anywhere
+    (globally psummed — callers re-run with a larger capacity when > 0,
+    the reference's count-then-exchange two-pass, mem_frugal_partition
+    shuffle_comm.cuh:367)."""
+    r, c = _axis_sizes()
+    # owner of vertex v: q = v // vp; i = q % R, j = q // R
+    q = keys // vp
+    dest_col = q // r
+    pack = dict(items)
+    pack["__key"] = keys
+    pack1, valid1, ov1 = _shuffle_axis(pack, dest_col, valid, COL, capacity)
+    keys1 = pack1["__key"]
+    dest_row = (keys1 // vp) % r
+    pack2, valid2, ov2 = _shuffle_axis(pack1, dest_row, valid1, ROW, capacity)
+    keys2 = pack2.pop("__key")
+    return keys2, pack2, valid2, ov1 + ov2
+
+
+def collect_values_for_keys(
+    keys: jax.Array,
+    valid: jax.Array,
+    values_local: jax.Array,
+    vp: int,
+    capacity: int,
+):
+    """Distributed kv gather: fetch values_local[key] from each key's owner
+    for arbitrary global keys (the reference's collect_values_for_keys,
+    collect_comm.cuh:57, minus the cuco hash map — ownership is range
+    math here).
+
+    Returns (values (n, ...), found (n,), overflow). Requests route to
+    owners via the bucketed shuffle, answers route back to the requester
+    by (device, slot) return address."""
+    r, c = _axis_sizes()
+    i, j = _my_coords()
+    n = keys.shape[0]
+    me = j * r + i  # flat device id (column-major like vertex ranges)
+    ret_addr = jnp.full(n, me, jnp.int32)
+    ret_slot = jnp.arange(n, dtype=jnp.int32)
+    k_rx, pack, v_rx, ov = shuffle_to_vertex_owners(
+        keys,
+        {"addr": ret_addr, "slot": ret_slot},
+        valid,
+        vp,
+        capacity,
+    )
+    # owner lookup
+    local = k_rx - (j * r + i) * vp
+    safe = jnp.clip(local, 0, values_local.shape[0] - 1)
+    ans = jnp.take(values_local, safe, axis=0)
+    ok = v_rx & (local >= 0) & (local < vp)
+    # route answers back: two-stage shuffle keyed by the return address
+    back = {"val": ans, "slot": pack["slot"], "addr": pack["addr"]}
+    dest_col2 = pack["addr"] // r
+    b1, bv1, ov3 = _shuffle_axis(back, dest_col2, ok, COL, capacity)
+    dest_row2 = b1["addr"] % r
+    b2, bv2, ov4 = _shuffle_axis(b1, dest_row2, bv1, ROW, capacity)
+    out_shape = (n,) + values_local.shape[1:]
+    out = jnp.zeros(out_shape, values_local.dtype)
+    slot2 = jnp.where(bv2, b2["slot"], n)
+    out = out.at[slot2].set(
+        jnp.where(
+            bv2.reshape((-1,) + (1,) * (len(out_shape) - 1)), b2["val"], 0
+        ),
+        mode="drop",
+    )
+    found = jnp.zeros(n, jnp.bool_).at[slot2].set(bv2, mode="drop")
+    return out, found, ov + ov3 + ov4
+
+
 def dcsr_lookup(nzd: jax.Array, nzd_offsets: jax.Array, local_ids: jax.Array):
     """Hypersparse (DCSR) adjacency lookup: (lo, deg) for colspan-local
     src ids. nzd is the sorted list of sources with >=1 local edge

@@ -6,16 +6,16 @@ ref: cpp/src/sampling/uniform_neighbor_sampling_impl.hpp (per-level shuffle
 TPU-native scheme (fixed shapes, no ragged shuffles): seeds are replicated
 (GNN minibatches are small relative to the graph). Per level:
   1. every device computes, for each seed in its column span, its LOCAL
-     out-degree from the src-side CSR;
+     out-degree from the DCSR src adjacency;
   2. all_gather over "row" -> per-device degree prefix across the column
      (the column's devices jointly own all out-edges of the span);
-  3. identical uniform draws (same key everywhere) pick global edge slots
-     in [0, total_degree); the device whose prefix range contains a slot
+  3. identical draws (same key everywhere) pick global edge slots in
+     [0, total_degree); the device whose prefix range contains a slot
      emits that edge's dst, everyone else emits 0 — a two-axis psum
      assembles the replicated result (exactly one owner per slot).
-With-replacement (exact); the without-replacement variant is approximated
-by with-replacement draws (duplicates possible at degree < ~fanout^2 —
-noted in the docstring; Gumbel top-k lands with the ragged shuffle work).
+Without-replacement draws use Floyd's K-subset on the replicated global
+degree (exact distinct slots, same algorithm as the SG prim
+prims/random_select.py); with-replacement is the plain uniform draw.
 """
 
 from __future__ import annotations
@@ -42,10 +42,12 @@ def mg_uniform_neighbor_sample(
     fanout_vals: Sequence[int],
     *,
     rng_key: Optional[jax.Array] = None,
+    with_replacement: bool = False,
 ):
     """Multi-hop distributed sampling. Returns dict of numpy arrays
     {'sources', 'destinations', 'hop'} like the SG version (weights join
-    in a later round). Draws are with replacement."""
+    in a later round). with_replacement=False draws exact distinct edges
+    per seed (Floyd's K-subset over the replicated global degree)."""
     if rng_key is None:
         rng_key = jax.random.PRNGKey(0)
     seeds = jnp.atleast_1d(jnp.asarray(start_vertices, jnp.int32))
@@ -57,7 +59,9 @@ def mg_uniform_neighbor_sample(
         rng_key, sub = jax.random.split(rng_key)
         n = int(seeds.shape[0])
         u = jax.random.uniform(sub, (n, k))
-        dsts, valid = _mg_sample_level(mesh, mgg, seeds, u)
+        dsts, valid = _mg_sample_level(
+            mesh, mgg, seeds, u, with_replacement=with_replacement
+        )
         dsts_np = np.asarray(dsts)
         valid_np = np.asarray(valid)
         seeds_np = np.asarray(seeds)
@@ -110,14 +114,20 @@ def mg_random_walks(
     return np.stack(walks, axis=1)
 
 
-def _mg_sample_level(mesh: Mesh, mgg: MGGraph, seeds: jax.Array, u: jax.Array):
+def _mg_sample_level(
+    mesh: Mesh,
+    mgg: MGGraph,
+    seeds: jax.Array,
+    u: jax.Array,
+    with_replacement: bool = True,
+):
     r, c, vp = mgg.rows, mgg.cols, mgg.vp
     span = r * vp
 
     args = [mgg.src_nzd, mgg.src_nzd_offsets, mgg.src_csr_dsts]
 
-    @jax.jit
-    def run_jit(seeds, u, *gargs):
+    @partial(jax.jit, static_argnames=("with_replacement",))
+    def run_jit(seeds, u, *gargs, with_replacement=True):
         @partial(
             shard_map,
             mesh=mesh,
@@ -143,11 +153,33 @@ def _mg_sample_level(mesh: Mesh, mgg: MGGraph, seeds: jax.Array, u: jax.Array):
             prefix = jnp.cumsum(degs_all, axis=0) - degs_all  # exclusive
             my_prefix = prefix[i]  # (n,)
             d_total = jnp.sum(degs_all, axis=0)  # (n,) replicated over row
-            # identical draws everywhere: global slot per (seed, k)
-            slot = jnp.minimum(
-                (u * d_total[:, None].astype(u.dtype)).astype(jnp.int32),
-                jnp.maximum(d_total[:, None] - 1, 0),
-            )
+            k_fan = u.shape[1]
+            if with_replacement:
+                # identical draws everywhere: global slot per (seed, k)
+                slot = jnp.minimum(
+                    (u * d_total[:, None].astype(u.dtype)).astype(jnp.int32),
+                    jnp.maximum(d_total[:, None] - 1, 0),
+                )
+            else:
+                # Floyd's K-subset over the replicated global degree: exact
+                # distinct slots (same algorithm as prims/random_select.py)
+                sel = jnp.full(u.shape, -1, dtype=jnp.int32)
+                for fi in range(k_fan):
+                    jd = d_total - k_fan + fi
+                    jpos = jnp.maximum(jd, 0)
+                    t = jnp.minimum(
+                        (u[:, fi] * (jpos + 1).astype(u.dtype)).astype(jnp.int32),
+                        jpos,
+                    )
+                    dup = (
+                        jnp.any(sel[:, :fi] == t[:, None], axis=1)
+                        if fi > 0
+                        else jnp.zeros(t.shape, bool)
+                    )
+                    sel = sel.at[:, fi].set(jnp.where(dup, jpos, t))
+                arange_k = jnp.arange(k_fan, dtype=jnp.int32)[None, :]
+                slot = jnp.where(d_total[:, None] <= k_fan, arange_k, sel)
+                slot = jnp.minimum(slot, jnp.maximum(d_total[:, None] - 1, 0))
             in_me = (
                 mine[:, None]
                 & (slot >= my_prefix[:, None])
@@ -163,8 +195,20 @@ def _mg_sample_level(mesh: Mesh, mgg: MGGraph, seeds: jax.Array, u: jax.Array):
             valid1 = jnp.where(mine, (d_total > 0).astype(jnp.int32), 0)
             valid1 = jax.lax.psum(jax.lax.psum(valid1, "col"), "row") > 0
             valid = jnp.broadcast_to(valid1[:, None], dst.shape)
+            if not with_replacement:
+                # degree < fanout: only the first d_total slots are real.
+                # d_total is nonzero only in the seed-owning column; psum
+                # replicates it so the mask is mesh-invariant.
+                d_rep = (
+                    jax.lax.psum(
+                        jax.lax.psum(jnp.where(mine, d_total, 0), "col"), "row"
+                    )
+                    // r
+                )
+                arange_k = jnp.arange(u.shape[1], dtype=jnp.int32)[None, :]
+                valid = valid & (arange_k < d_rep[:, None])
             return dst, valid
 
         return run(seeds, u, *gargs)
 
-    return run_jit(seeds, u, *args)
+    return run_jit(seeds, u, *args, with_replacement=with_replacement)

@@ -101,3 +101,92 @@ def test_analyze_clustering_metrics(karate):
     np.testing.assert_allclose(cut, exp_cut)
     rc = cg.analyze_clustering_ratio_cut(g, labels)
     assert rc > 0
+
+
+def _communities_connected(g, labels):
+    """Every community induces a connected subgraph."""
+    import numpy as np
+    import cugraph_tpu as cg
+    from cugraph_tpu.core.convert import decompress_to_edgelist
+
+    src, dst, _ = decompress_to_edgelist(g)
+    labels = np.asarray(labels)
+    for c in np.unique(labels):
+        members = np.where(labels == c)[0]
+        if len(members) == 1:
+            continue
+        remap = -np.ones(g.num_vertices, dtype=np.int64)
+        remap[members] = np.arange(len(members))
+        keep = (labels[src] == c) & (labels[dst] == c)
+        if not keep.any():
+            return False
+        sub = cg.from_edgelist(
+            remap[src[keep]], remap[dst[keep]], num_vertices=len(members),
+            is_symmetric=True,
+        )
+        comps = np.asarray(cg.weakly_connected_components(sub))
+        if len(np.unique(comps)) > 1:
+            return False
+    return True
+
+
+def test_leiden_refinement_properties():
+    """Leiden: refined moves stay within parent communities, communities
+    are internally connected, and quality >= louvain (VERDICT #8)."""
+    import numpy as np
+    import jax.numpy as jnp
+    import cugraph_tpu as cg
+    from cugraph_tpu.algos.community import _louvain_one_level
+
+    # ring of small cliques with weak bridges — refinement-sensitive
+    rng = np.random.default_rng(0)
+    n_cliq, sz = 12, 6
+    src, dst, w = [], [], []
+    for ci in range(n_cliq):
+        base = ci * sz
+        for a in range(sz):
+            for b in range(a + 1, sz):
+                src.append(base + a); dst.append(base + b); w.append(1.0)
+        nxt = ((ci + 1) % n_cliq) * sz
+        src.append(base); dst.append(nxt); w.append(0.25)
+    g = cg.from_edgelist(
+        np.array(src), np.array(dst), np.array(w, np.float32), symmetrize=True
+    )
+    lab_lou, q_lou = cg.louvain(g)
+    lab_lei, q_lei = cg.leiden(g)
+    assert q_lei >= q_lou - 1e-6
+    assert _communities_connected(g, lab_lei)
+    # refinement is a true refinement of the move-phase partition
+    p_lab, _ = _louvain_one_level(g, jnp.float32(1.0), 64)
+    r_lab, _ = _louvain_one_level(g, jnp.float32(1.0), 32, constraint=p_lab)
+    p_np, r_np = np.asarray(p_lab), np.asarray(r_lab)
+    for rc in np.unique(r_np):
+        parents = np.unique(p_np[r_np == rc])
+        assert len(parents) == 1
+
+
+def test_leiden_differs_from_louvain_when_refinement_matters():
+    """A graph engineered so louvain glues a chain vertex into a community
+    it only weakly connects to; leiden's refinement must keep every
+    community connected even if modularity ties."""
+    import numpy as np
+    import cugraph_tpu as cg
+
+    rng = np.random.default_rng(3)
+    # two dense blobs + a long weak path between them
+    blob = 8
+    src, dst, w = [], [], []
+    for base in (0, blob):
+        for a in range(blob):
+            for b in range(a + 1, blob):
+                src.append(base + a); dst.append(base + b); w.append(1.0)
+    path = list(range(2 * blob, 2 * blob + 5))
+    chain = [0] + path + [blob]
+    for a, b in zip(chain[:-1], chain[1:]):
+        src.append(a); dst.append(b); w.append(0.3)
+    g = cg.from_edgelist(
+        np.array(src), np.array(dst), np.array(w, np.float32), symmetrize=True
+    )
+    lab, q = cg.leiden(g)
+    assert _communities_connected(g, lab)
+    assert q > 0.2

@@ -324,3 +324,94 @@ def test_dcsr_index_memory_independent_of_span(mesh, karate_mg):
     # index arrays are bounded by edge storage, not span+1
     assert karate_mg.src_nzd_offsets.shape[-1] == nz_pad + 1
     assert nz_pad <= d_pad  # at most one nzd entry per local edge (padded)
+
+
+def test_shuffle_collect_values_for_keys(mesh, karate_mg):
+    """Runtime bucketed all_to_all: distributed kv gather == direct lookup."""
+    import jax.numpy as jnp
+    from functools import partial
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+    from cugraph_tpu.dist import mg_prims
+    from cugraph_tpu.dist.mg_graph import shard_vertex_values
+
+    mgg = karate_mg
+    v = mgg.num_vertices
+    rng = np.random.default_rng(0)
+    vals = rng.random(v).astype(np.float32)
+    vals_sh = shard_vertex_values(mesh, mgg, vals)
+    # every device asks for a different random key set
+    n_req = 16
+    keys = rng.integers(0, v, size=(mgg.rows, mgg.cols, n_req)).astype(np.int32)
+    keys_sh = jax.device_put(keys, karate_mg.srcs.sharding)
+
+    @jax.jit
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P("row", "col", None), P("row", "col", None)),
+        out_specs=(P("row", "col", None), P("row", "col", None), P()),
+    )
+    def run(keys_l, vals_l):
+        k = keys_l[0, 0]
+        out, found, ov = mg_prims.collect_values_for_keys(
+            k, jnp.ones(k.shape, bool), vals_l[0, 0], mgg.vp, capacity=64
+        )
+        return out[None, None], found[None, None], ov
+
+    out, found, ov = run(keys_sh, vals_sh)
+    assert int(ov) == 0
+    assert bool(np.asarray(found).all())
+    np.testing.assert_allclose(np.asarray(out), vals[keys], rtol=1e-6)
+
+
+def test_shuffle_overflow_reported(mesh, karate_mg):
+    import jax.numpy as jnp
+    from functools import partial
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+    from cugraph_tpu.dist import mg_prims
+
+    mgg = karate_mg
+
+    @jax.jit
+    @partial(shard_map, mesh=mesh, in_specs=(), out_specs=P())
+    def run():
+        # every device sends 8 items to vertex 0's owner with capacity 2
+        keys = jnp.zeros(8, jnp.int32)
+        k2, items, v2, ov = mg_prims.shuffle_to_vertex_owners(
+            keys, {"x": jnp.arange(8, dtype=jnp.float32)}, jnp.ones(8, bool),
+            mgg.vp, capacity=2,
+        )
+        return ov
+
+    assert int(run()) > 0
+
+
+def test_mg_sample_without_replacement_distinct(mesh, karate_sg, karate_mg):
+    """Without-replacement draws are distinct edges per seed and exhaustive
+    at degree <= fanout (ref semantics)."""
+    deg0 = int(np.asarray(karate_sg.out_degrees())[0])
+    for t in range(8):
+        res = mg_sampling.mg_uniform_neighbor_sample(
+            mesh, karate_mg, [0], [8], rng_key=jax.random.PRNGKey(t),
+            with_replacement=False,
+        )
+        hop0 = res["destinations"][res["hop"] == 0]
+        assert len(hop0) == min(deg0, 8)
+        assert len(set(hop0.tolist())) == len(hop0)  # distinct
+    # low-degree seed yields exactly its neighborhood
+    deg11 = int(np.asarray(karate_sg.out_degrees())[11])
+    res = mg_sampling.mg_uniform_neighbor_sample(
+        mesh, karate_mg, [11], [8], rng_key=jax.random.PRNGKey(0),
+        with_replacement=False,
+    )
+    hop0 = res["destinations"][res["hop"] == 0]
+    nbrs = set(
+        np.asarray(karate_sg.csr().minors)[
+            int(np.asarray(karate_sg.csr().offsets)[11]) : int(
+                np.asarray(karate_sg.csr().offsets)[12]
+            )
+        ].tolist()
+    )
+    assert set(hop0.tolist()) == nbrs
