@@ -150,12 +150,22 @@ def degree_centrality(g: Graph, normalized: bool = True) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=())
-def _brandes_batch(g: Graph, sources: jax.Array):
+@partial(jax.jit, static_argnames=("vary_axes",))
+def _brandes_batch(g: Graph, sources: jax.Array, vary_axes: tuple = ()):
     """Vertex + edge dependency accumulation for a batch of sources.
 
-    Returns (delta (S, V), edge_delta (S, e_pad)) of dependency scores."""
+    Returns (delta (S, V), edge_delta (S, e_pad)) of dependency scores.
+    vary_axes: mesh axes to mark loop carries as varying over when called
+    inside shard_map (the MG batch-replication path, dist/mg_centrality)."""
     v = g.num_vertices
+
+    def _pv(x):
+        # mark loop-carry inits varying over exactly the missing axes
+        if not vary_axes:
+            return x
+        have = getattr(jax.typeof(x), "vma", frozenset())
+        need = tuple(a for a in vary_axes if a not in have)
+        return jax.lax.pvary(x, need) if need else x
     adj = g.csr()
     src_ids, dst_ids = adj.majors, adj.minors
     valid = adj.valid()
@@ -186,7 +196,7 @@ def _brandes_batch(g: Graph, sources: jax.Array):
             return dist, sigma, touched, depth + 1
 
         dist, sigma, _, max_depth = jax.lax.while_loop(
-            fcond, fbody, (dist0, sigma0, frontier0, jnp.int32(0))
+            fcond, fbody, (_pv(dist0), _pv(sigma0), _pv(frontier0), jnp.int32(0))
         )
 
         # backward sweep: for depth d from max_depth-1 down to 0, accumulate
@@ -215,7 +225,7 @@ def _brandes_batch(g: Graph, sources: jax.Array):
             return delta + add, edge_delta, d - 1
 
         delta, edge_delta, _ = jax.lax.while_loop(
-            bcond, bbody, (delta0, edge_delta0, max_depth - 1)
+            bcond, bbody, (_pv(delta0), _pv(edge_delta0), max_depth - 1)
         )
         delta = delta.at[s].set(0.0)
         reach = (dist != jnp.iinfo(jnp.int32).max).at[s].set(False)

@@ -415,3 +415,34 @@ def test_mg_sample_without_replacement_distinct(mesh, karate_sg, karate_mg):
         ].tolist()
     )
     assert set(hop0.tolist()) == nbrs
+
+
+def test_mg_batch_betweenness_matches_sg(mesh, karate_sg):
+    """Batch-replication MG betweenness == SG (ref:
+    tests/mg/test_mg_batch_betweenness_centrality.py)."""
+    from cugraph_tpu.dist import mg_centrality
+
+    bc_sg = np.asarray(cg.betweenness_centrality(karate_sg))
+    bc_mg = np.asarray(mg_centrality.mg_betweenness_centrality(mesh, karate_sg))
+    np.testing.assert_allclose(bc_mg, bc_sg, rtol=1e-4, atol=1e-6)
+    # sampled variant: same sources (same seed policy) -> same result
+    bc_sg_k = np.asarray(cg.betweenness_centrality(karate_sg, k=8, seed=3))
+    bc_mg_k = np.asarray(
+        mg_centrality.mg_betweenness_centrality(mesh, karate_sg, k=8, seed=3)
+    )
+    np.testing.assert_allclose(bc_mg_k, bc_sg_k, rtol=1e-4, atol=1e-6)
+    e_sg = np.asarray(cg.edge_betweenness_centrality(karate_sg))
+    e_mg = np.asarray(
+        mg_centrality.mg_edge_betweenness_centrality(mesh, karate_sg)
+    )
+    np.testing.assert_allclose(e_mg, e_sg, rtol=1e-4, atol=1e-6)
+
+
+def test_mg_betweenness_endpoints(mesh, karate_sg):
+    from cugraph_tpu.dist import mg_centrality
+
+    bc_sg = np.asarray(cg.betweenness_centrality(karate_sg, endpoints=True))
+    bc_mg = np.asarray(
+        mg_centrality.mg_betweenness_centrality(mesh, karate_sg, endpoints=True)
+    )
+    np.testing.assert_allclose(bc_mg, bc_sg, rtol=1e-4, atol=1e-6)
