@@ -54,6 +54,9 @@ def _try_load():
     lib.ct_symmetrize.restype = ctypes.c_int64
     _lib = lib
     return lib
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.ct_benes_route.argtypes = [i64p, ctypes.c_int64, u8p]
+
 
 
 def available() -> bool:
@@ -154,3 +157,21 @@ def build_csr(
         _ptr(pn, ctypes.c_int32), _ptr(pw, ctypes.c_float),
     )
     return offsets, pm, pn, pw
+
+
+def benes_route(perm: np.ndarray):
+    """C++ Benes switch-bit routing; None if the native lib is missing."""
+    lib = _try_load()
+    if lib is None or not hasattr(lib, "ct_benes_route"):
+        return None
+    n = len(perm)
+    k = max(n.bit_length() - 1, 1)
+    assert (1 << k) == n, "benes_route requires power-of-two length"
+    perm = np.ascontiguousarray(perm, dtype=np.int64)
+    bits = np.zeros((2 * k - 1, n), dtype=np.uint8)
+    lib.ct_benes_route(
+        perm.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.c_int64(n),
+        bits.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    return bits

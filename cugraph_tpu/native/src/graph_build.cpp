@@ -192,4 +192,71 @@ int64_t ct_symmetrize(const int32_t* src, const int32_t* dst,
   return n;
 }
 
+
+// ---------------------------------------------------------------------------
+// Benes network routing (static permutation -> butterfly switch bits).
+// Element at input position i must reach output position perm[i].
+// bits layout: (2k-1) stages x n positions, both pair positions share the
+// pair's bit. Stage distances: n/2 ... 2, 1, 2 ... n/2.
+// Classic Waksman 2-coloring, iterative over levels. O(n log n).
+// ---------------------------------------------------------------------------
+void ct_benes_route(const int64_t* perm, int64_t n, uint8_t* bits) {
+  int k = 0;
+  while ((int64_t(1) << k) < n) ++k;
+  if ((int64_t(1) << k) != n || n < 2) return;
+  const int n_stages = 2 * k - 1;
+  std::vector<int64_t> dest(perm, perm + n), next(n), inv(n);
+  std::vector<int8_t> color(n);
+  for (int level = 0;; ++level) {
+    const int64_t nloc = n >> level;
+    const int stage_in = level, stage_out = n_stages - 1 - level;
+    uint8_t* bin = bits + (int64_t)stage_in * n;
+    uint8_t* bout = bits + (int64_t)stage_out * n;
+    if (nloc == 2) {
+      for (int64_t seg = 0; seg < n; seg += 2) {
+        uint8_t b = dest[seg] == 1 ? 1 : 0;
+        bin[seg] = b;
+        bin[seg + 1] = b;
+      }
+      break;
+    }
+    const int64_t m = nloc >> 1;
+    for (int64_t seg = 0; seg < n; seg += nloc) {
+      int64_t* d = dest.data() + seg;
+      int64_t* iv = inv.data() + seg;
+      int8_t* col = color.data() + seg;
+      for (int64_t i = 0; i < nloc; ++i) iv[d[i]] = i;
+      std::fill(col, col + nloc, (int8_t)-1);
+      for (int64_t e0 = 0; e0 < nloc; ++e0) {
+        if (col[e0] >= 0) continue;
+        int64_t e = e0;
+        int8_t c = 0;
+        while (col[e] < 0) {
+          col[e] = c;
+          int64_t pin = e ^ m;
+          if (col[pin] < 0) col[pin] = (int8_t)(1 - c);
+          e = iv[d[pin] ^ m];
+          c = (int8_t)(1 - col[pin]);
+        }
+      }
+      int64_t* td = next.data() + seg;
+      int64_t* bd = next.data() + seg + m;
+      for (int64_t i = 0; i < m; ++i) {
+        uint8_t b = col[i] == 1 ? 1 : 0;
+        bin[seg + i] = b;
+        bin[seg + i + m] = b;
+        int64_t top_e = b ? i + m : i;
+        int64_t bot_e = b ? i : i + m;
+        td[i] = d[top_e] & (m - 1);
+        bd[i] = d[bot_e] & (m - 1);
+        int64_t p = td[i];
+        uint8_t bo = d[top_e] >= m ? 1 : 0;
+        bout[seg + p] = bo;
+        bout[seg + p + m] = bo;
+      }
+    }
+    std::swap(dest, next);
+  }
+}
+
 }  // extern "C"

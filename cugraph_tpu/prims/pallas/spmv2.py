@@ -1,0 +1,1050 @@
+"""SpMV v2 — the gather-free sorted pipeline (static-routed, Benes-based).
+
+Computes y[dst] = sum over edges (src -> dst) of w * x[src] at multi-GB/s
+on TPU, replacing both XLA sparse halves (gather ~0.1 Gelem/s, scatter
+~0.09 — docs/PERFORMANCE.md) with three Pallas kernels whose data
+movement is STATIC (precomputed per graph):
+
+  K-A  expand   x[src] for every edge via paged 8-way select from a
+                VMEM-resident x table (lane = src%128, sublane idx
+                precomputed; hub sources get broadcast rows appended to
+                the table so single-source runs fill whole vregs).
+  K-B  slab     within each 2^19-element slab, a 37-stage Benes butterfly
+                (roll+select, switch bits precomputed by
+                native ct_benes_route) groups values by destination BIN,
+                runs padded to chunk-row boundaries.
+  K-C1 assemble chunk-granular static row gather: every part's runs are
+                copied into a contiguous part block (prefetched index
+                maps, pure streaming).
+  K-C2 sort+reduce  per part: Benes to exact dst-sorted order (dst d's
+                elements stacked in lane (d + chunk)%128), segmented scan
+                along rows, then a windowed within-lane extract gathers
+                each dst's total into the dense y slice of the part's
+                bin; parts of a bin accumulate into the same out block.
+                "Simple" parts (a single heavy destination) skip the sort
+                and reduce to one scalar.
+
+Role parity: this pipeline IS the TPU redesign of the reference's
+degree-segmented per_v_transform_reduce_incoming_e CUDA kernels
+(cpp/src/prims/per_v_transform_reduce_incoming_outgoing_e.cuh:84-560):
+where CUDA picks thread/warp/block per vertex, the TPU picks hub
+broadcast rows / lane-stacked selects / Benes-sorted segments.
+
+All shapes static; the layout (SortedLayout) is built host-side once per
+graph (numpy + C++ Benes routing) and cached.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from concurrent.futures import ThreadPoolExecutor
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .benes import route_benes, pack_bits, stage_distances
+
+LANES = 128
+
+
+@dataclasses.dataclass(frozen=True)
+class Spmv2Config:
+    slab_rows: int = 2048  # 2^18 elements per slab (VMEM: 3 blocks + d.b.)
+    part_rows: int = 2048  # 2^18 elements per part block
+    bin_rows: int = 1024  # dsts per bin = bin_rows * 128
+    chunk_rows: int = 64  # assembly copy granularity
+    hub_deg: int = 1024  # src out-count threshold for broadcast rows
+    heavy_dst: int = 8192  # dst in-count threshold for simple parts
+    max_rounds: int = 6  # extract rotation rounds per sorted part
+
+
+TINY = Spmv2Config(
+    slab_rows=16, part_rows=16, bin_rows=8, chunk_rows=2, hub_deg=8,
+    heavy_dst=64, max_rounds=3,
+)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class SortedLayout:
+    # K-A expand
+    prow: jax.Array  # (n_vregs,) i32 x-table row of each slot vreg
+    idx: jax.Array  # (slot_rows, 128) i32 sublane in page [0, 8)
+    w: jax.Array  # (slot_rows, 128) f32 edge weight (0 = padding)
+    hub_ids: jax.Array  # (n_hub_rows * 128,) i32 hub src per table lane? no:
+    #   (n_hub_rows,) i32 hub source vertex of each appended table row
+    # K-B slab benes
+    route1_lo: jax.Array  # (slot_rows, 128) i32 stages 0..31
+    route1_hi: jax.Array  # (slot_rows, 128) i32 stages 32..36
+    # K-C1 assembly
+    chunk_src: jax.Array  # (n_steps,) i32 source block (chunk units)
+    chunk_dst: jax.Array  # (n_steps,) i32 dest block (chunk units)
+    # K-C2 sort + reduce
+    route2_lo: jax.Array  # (n_route_blocks*part_rows, 128) i32
+    route2_hi: jax.Array  # (n_route_blocks*part_rows, 128) i32 (+flag bit5)
+    ext: jax.Array  # (n_ext_blocks*(bin_rows+8), 128) i32 packed routes
+    route_blk: jax.Array  # (n_parts,) i32 route block of part (0 = dummy)
+    ext_blk: jax.Array  # (n_parts,) i32 first ext block of part
+    bin_of_part: jax.Array  # (n_parts,) i32
+    first_flag: jax.Array  # (n_parts,) i32 1 = first part of its bin
+    mode: jax.Array  # (n_parts,) i32 0 = sorted, 1 = simple
+    simple_pos: jax.Array  # (n_parts,) i32 packed r*128+l dst slot (simple)
+    n_rounds: jax.Array  # (n_parts,) i32
+    rot: jax.Array  # (n_parts * max_rounds,) i32 lane rotation per round
+    cfg: Spmv2Config = dataclasses.field(metadata=dict(static=True))
+    n_slabs: int = dataclasses.field(metadata=dict(static=True))
+    n_parts: int = dataclasses.field(metadata=dict(static=True))
+    n_bins: int = dataclasses.field(metadata=dict(static=True))
+    n_steps: int = dataclasses.field(metadata=dict(static=True))
+    x_rows: int = dataclasses.field(metadata=dict(static=True))  # V table rows
+    num_vertices: int = dataclasses.field(metadata=dict(static=True))
+    num_edges: int = dataclasses.field(metadata=dict(static=True))
+
+
+# ===========================================================================
+# Host-side layout build
+# ===========================================================================
+
+
+def build_sorted_layout(
+    dsts: np.ndarray,
+    srcs: np.ndarray,
+    weights: Optional[np.ndarray],
+    num_vertices: int,
+    cfg: Spmv2Config = Spmv2Config(),
+) -> SortedLayout:
+    e = len(dsts)
+    dsts = np.asarray(dsts, dtype=np.int64)
+    srcs = np.asarray(srcs, dtype=np.int64)
+    w = (
+        np.ones(e, dtype=np.float32)
+        if weights is None
+        else np.asarray(weights, dtype=np.float32)
+    )
+    v = int(num_vertices)
+    SR, PR, BR, CH = cfg.slab_rows, cfg.part_rows, cfg.bin_rows, cfg.chunk_rows
+    assert BR % 8 == 0, "bin_rows must be a multiple of 8 (out vregs)"
+    slab_e = SR * LANES
+    part_e = PR * LANES
+    bin_dsts = BR * LANES
+    x_rows = max(-(-v // LANES), 8)
+
+    # ---- K-A: slot assignment -------------------------------------------
+    out_cnt = np.bincount(srcs, minlength=v)
+    hub_mask_v = out_cnt >= cfg.hub_deg
+    hub_ids = np.nonzero(hub_mask_v)[0].astype(np.int64)
+    hub_row_of = {int(s): x_rows + i for i, s in enumerate(hub_ids)}
+    n_hub_rows = len(hub_ids)
+
+    is_hub_e = hub_mask_v[srcs]
+    # non-hub edges: page q = src // 1024, lane = src % 128
+    # order: page-major, then lane, then arbitrary -> stack down lane
+    order_nh = np.nonzero(~is_hub_e)[0]
+    q_nh = srcs[order_nh] // (8 * LANES)
+    lane_nh = srcs[order_nh] % LANES
+    o2 = np.lexsort((lane_nh, q_nh))
+    order_nh = order_nh[o2]
+    q_nh, lane_nh = q_nh[o2], lane_nh[o2]
+    # per (page, lane): position in stack
+    key = q_nh * LANES + lane_nh
+    pos_in = _group_ranks(key)
+    # rows per page = max stack height rounded to 8
+    if len(key):
+        page_ids, page_start = np.unique(q_nh, return_index=True)
+        heights = np.zeros(len(page_ids), dtype=np.int64)
+        grp_max = _group_max(key, pos_in + 1)
+        # per-page max over lanes
+        lane_first = np.ones(len(key), dtype=bool)
+        lane_first[1:] = key[1:] != key[:-1]
+        pg_of_grp = q_nh[lane_first]
+        np.maximum.at(
+            heights,
+            np.searchsorted(page_ids, pg_of_grp),
+            grp_max[lane_first],
+        )
+        page_rows = -(-heights // 8) * 8
+    else:
+        page_ids = np.zeros(0, np.int64)
+        page_rows = np.zeros(0, np.int64)
+    page_row0 = np.zeros(len(page_ids) + 1, dtype=np.int64)
+    np.cumsum(page_rows, out=page_row0[1:])
+    nh_total_rows = int(page_row0[-1])
+
+    # hub edges: hub h fills whole rows after the non-hub region
+    order_h = np.nonzero(is_hub_e)[0]
+    hs = srcs[order_h]
+    o3 = np.argsort(hs, kind="stable")
+    order_h = order_h[o3]
+    hs = hs[o3]
+    h_first = np.ones(len(hs), dtype=bool)
+    h_first[1:] = hs[1:] != hs[:-1]
+    h_rank = _group_ranks(hs)
+    hub_counts = out_cnt[hub_ids]
+    hub_rows_each = -(-hub_counts // LANES)
+    # Pack hub slot-row ranges grouped by x-table PAGE: hubs sharing a
+    # table page may share slot vregs (same prow, per-slot idx differs);
+    # align at page-group boundaries so no vreg mixes two pages.
+    page_of_hub = (x_rows + np.arange(max(n_hub_rows, 1))) // 8
+    hub_row0 = np.zeros(n_hub_rows + 1, dtype=np.int64)
+    cur = 0
+    for i in range(n_hub_rows):
+        if i > 0 and page_of_hub[i] != page_of_hub[i - 1]:
+            cur = -(-cur // 8) * 8
+        hub_row0[i] = cur
+        cur += int(hub_rows_each[i])
+    hub_row0[n_hub_rows] = -(-cur // 8) * 8
+    h_total_rows = int(hub_row0[-1])
+
+    # ---- dense (pre-slab) placement -------------------------------------
+    n_bins = max(-(-v // bin_dsts), 1)
+    slot_rows_raw = nh_total_rows + h_total_rows
+    dense_rows = max(-(-slot_rows_raw // 8) * 8, 8)
+    dense_vregs = dense_rows // 8
+    row_of_edge = np.zeros(e, dtype=np.int64)
+    lane_of_edge = np.zeros(e, dtype=np.int64)
+    idx_of_edge = np.zeros(e, dtype=np.int32)
+    dense_prow = np.zeros(dense_vregs, dtype=np.int32)
+    if len(order_nh):
+        base = page_row0[np.searchsorted(page_ids, q_nh)]
+        row = base + pos_in
+        row_of_edge[order_nh] = row
+        lane_of_edge[order_nh] = lane_nh
+        idx_of_edge[order_nh] = ((srcs[order_nh] // LANES) % 8).astype(np.int32)
+        dense_prow[row // 8] = (q_nh * 8).astype(np.int32)
+    if len(order_h):
+        hub_idx_of = np.searchsorted(hub_ids, hs)
+        row = nh_total_rows + hub_row0[hub_idx_of] + h_rank // LANES
+        row_of_edge[order_h] = row
+        lane_of_edge[order_h] = h_rank % LANES
+        idx_of_edge[order_h] = ((x_rows + hub_idx_of) % 8).astype(np.int32)
+        dense_prow[row // 8] = ((x_rows + hub_idx_of) // 8 * 8).astype(np.int32)
+
+    # ---- slab-capacity-aware vreg packing --------------------------------
+    # Each slab must keep slack for the per-run row alignment of the bin
+    # grouping (<= n_bins rows per slab + 1 spare vreg).
+    elems_per_vreg = np.bincount(row_of_edge // 8, minlength=dense_vregs)
+    reserve = (n_bins + 8) * LANES
+    cap = max(slab_e - reserve, slab_e // 2)
+    new_vreg = np.zeros(dense_vregs, dtype=np.int64)
+    cur_vreg, cur_fill = 0, 0
+    for vr in range(dense_vregs):
+        ne_ = int(elems_per_vreg[vr]) or 0
+        slab_idx = cur_vreg // (SR // 8)
+        next_slab_start = (slab_idx + 1) * (SR // 8)
+        if cur_fill + ne_ > cap:
+            cur_vreg = next_slab_start
+            cur_fill = 0
+        new_vreg[vr] = cur_vreg
+        cur_vreg += 1
+        if cur_vreg % (SR // 8) == 0:
+            cur_fill = 0
+        else:
+            cur_fill += ne_
+    n_slabs = max(int(new_vreg[-1]) // (SR // 8) + 1, 1) if dense_vregs else 1
+    slot_rows = n_slabs * SR
+    n_vregs = slot_rows // 8
+    idx_np = np.zeros((slot_rows, LANES), dtype=np.int32)
+    w_np = np.zeros((slot_rows, LANES), dtype=np.float32)
+    prow_np = np.zeros(n_vregs, dtype=np.int32)
+    prow_np[new_vreg] = dense_prow
+    final_row = new_vreg[row_of_edge // 8] * 8 + (row_of_edge % 8)
+    slot_of_edge = final_row * LANES + lane_of_edge
+    idx_np[final_row, lane_of_edge] = idx_of_edge
+    w_np[final_row, lane_of_edge] = w
+
+    # ---- global sorted order, bins, parts -------------------------------
+    sort_order = np.argsort(dsts, kind="stable")  # edges in dst order
+    d_sorted = dsts[sort_order]
+    bin_of_edge_sorted = d_sorted // bin_dsts
+    in_cnt = np.bincount(dsts, minlength=v)
+
+    # slab of each edge + within-slab bin grouping (pi1)
+    slab_of_edge = slot_of_edge // slab_e
+    # per-slab order: sort slots by (bin, dst) so runs are dst-sorted-ish
+    # (only bin grouping is REQUIRED; dst ordering inside helps nothing but
+    # costs nothing)
+    bin_of_edge = dsts // bin_dsts
+
+    # build per-slab permutations + run table
+    pi1 = np.arange(n_slabs * slab_e, dtype=np.int64)  # slot -> new pos
+    pi1 = pi1 * 0 - 1
+    run_info = []  # (slab, bin, start_row_in_slab(chunk-aligned), n_elems)
+    run_elems = []  # per run: edge ids (in run order)
+    for s in range(n_slabs):
+        lo, hi = s * slab_e, (s + 1) * slab_e
+        in_slab = (slot_of_edge >= lo) & (slot_of_edge < hi)
+        eids = np.nonzero(in_slab)[0]
+        local = slot_of_edge[eids] - lo
+        order = np.lexsort((dsts[eids], bin_of_edge[eids]))
+        eids_o = eids[order]
+        local_o = local[order]
+        b_o = bin_of_edge[eids_o]
+        # pack runs at chunk-row granularity
+        cur = 0  # element cursor within slab (in units of elements)
+        ubins, ustarts = np.unique(b_o, return_index=True)
+        uends = np.append(ustarts[1:], len(b_o))
+        taken = np.zeros(slab_e, dtype=bool)
+        for bi, st, en in zip(ubins, ustarts, uends):
+            n_el = en - st
+            # runs start at row boundaries (K-C assembly is row-granular)
+            cur = -(-cur // LANES) * LANES
+            if cur + n_el > slab_e:
+                raise ValueError("slab overflow (padding too tight)")
+            pi1[lo + local_o[st:en]] = lo + cur + np.arange(n_el)
+            run_info.append((s, int(bi), cur // LANES, int(n_el)))
+            run_elems.append(eids_o[st:en])
+            cur += n_el
+        # park padding slots in the remaining positions
+        free = np.nonzero(pi1[lo:hi] < 0)[0]
+        used = np.zeros(slab_e, dtype=bool)
+        used[(pi1[lo:hi][pi1[lo:hi] >= 0] - lo)] = True
+        empty = np.nonzero(~used)[0]
+        pi1[lo + free] = lo + empty[: len(free)]
+
+    # ---- parts ----------------------------------------------------------
+    # per bin: heavy dsts -> simple parts; remaining runs -> sorted parts
+    parts = []  # dicts
+    runs_by_bin = {}
+    for ridx, (s, bi, r0, n_el) in enumerate(run_info):
+        runs_by_bin.setdefault(bi, []).append(ridx)
+
+    heavy_v = np.nonzero(in_cnt >= cfg.heavy_dst)[0]
+
+    def piece_rows(sel, r0):
+        """Chunk-row extent a piece occupies in the part block."""
+        if not len(sel):
+            return 0
+        pos = sel + r0 * LANES
+        c0 = pos.min() // (CH * LANES)
+        c1 = pos.max() // (CH * LANES) + 1
+        return int(c1 - c0) * CH
+
+    def pack_parts(pieces_list, mode, bi, d=None, row_budget=None):
+        """Greedy row-budgeted packing; a single piece larger than the
+        budget is split at chunk boundaries."""
+        out = []
+        budget = row_budget if row_budget is not None else PR
+        cur_pieces, cur_rows = [], 0
+        for ridx, sel in pieces_list:
+            s_, _, r0, _ = run_info[ridx]
+            # split oversized pieces at chunk boundaries
+            pos = sel + r0 * LANES
+            csplit = pos // (CH * LANES)
+            sub = [sel]
+            if piece_rows(sel, r0) > budget:
+                sub = [
+                    sel[csplit == c]
+                    for c in np.unique(csplit)
+                ]
+            for sl in sub:
+                need = piece_rows(sl, r0)
+                if cur_rows + need > budget and cur_pieces:
+                    out.append(dict(mode=mode, dst=d, pieces=cur_pieces, bin=bi))
+                    cur_pieces, cur_rows = [], 0
+                cur_pieces.append((ridx, sl))
+                cur_rows += need
+        if cur_pieces:
+            out.append(dict(mode=mode, dst=d, pieces=cur_pieces, bin=bi))
+        return out
+
+    # fill margin: sorted parts need lane-balance slack (first-fit)
+    sorted_budget = max((PR * 3) // 4, CH)
+    for bi in range(n_bins):
+        ridxs = runs_by_bin.get(bi, [])
+        bin_parts = []
+        # split each run's elements into heavy / normal
+        norm_chunks = []  # (run, elem offsets within run)
+        heavy_elems = {}  # dst -> list of (run, offsets)
+        for ridx in ridxs:
+            eids = run_elems[ridx]
+            hd = np.isin(dsts[eids], heavy_v, assume_unique=False)
+            if hd.any():
+                for d in np.unique(dsts[eids][hd]):
+                    sel = np.nonzero(dsts[eids] == d)[0]
+                    heavy_elems.setdefault(int(d), []).append((ridx, sel))
+            if (~hd).any():
+                norm_chunks.append((ridx, np.nonzero(~hd)[0]))
+        for d, pieces in heavy_elems.items():
+            bin_parts.extend(pack_parts(pieces, 1, bi, d=d))
+        bin_parts.extend(pack_parts(norm_chunks, 0, bi, row_budget=sorted_budget))
+        if not bin_parts:
+            bin_parts.append(dict(mode=1, dst=bi * bin_dsts, pieces=[], bin=bi))
+        parts.extend(bin_parts)
+
+    n_parts = len(parts)
+
+    # ---- assembly chunks + per-part blocks ------------------------------
+    # NOTE a sorted/simple part copies WHOLE chunk-aligned windows of its
+    # runs; elements of the other class inside the window are routed to
+    # trash (sorted parts) or masked (simple parts) via a weight... simple
+    # parts SUM the block, so foreign elements must be zeroed -> simple
+    # parts get a mask block encoded in ext space. To keep v1 simple,
+    # assembly copies per-part PIECES at chunk granularity where pieces of
+    # different parts never share a chunk: we re-pack runs so that heavy
+    # dst elements occupy their own chunk-aligned ranges inside the run.
+    # This is guaranteed by the within-run (bin, dst) sort: a heavy dst's
+    # elements are contiguous inside the run; chunk sharing happens only at
+    # the two boundary chunks, handled by trash routing / masking below.
+    chunk_src, chunk_dst = [], []
+    part_meta = []
+    route_jobs = []  # (part_id, perm) for sorted parts
+    ext_blocks = []  # np arrays (bin_rows + 8, 128) int32
+    rot_list = []
+    for pid, prt in enumerate(parts):
+        my_chunks = []
+        # element -> (part position) map
+        elem_ids = []
+        pos_in_part = []
+        cur_row = 0
+        for ridx, sel in prt["pieces"]:
+            s, bi, r0, n_el = run_info[ridx]
+            eids = run_elems[ridx]
+            # positions of selected elements within the run
+            el0 = r0 * LANES  # run start element within slab
+            pos = sel + el0  # element pos within slab
+            c0 = (pos.min() // (CH * LANES)) if len(pos) else 0
+            c1 = (pos.max() // (CH * LANES) + 1) if len(pos) else 0
+            for c in range(int(c0), int(c1)):
+                src_blk = s * (SR // CH) + c
+                my_chunks.append(src_blk)
+            # positions within the part block
+            base_el = pos - c0 * CH * LANES
+            pos_in_part.append(base_el + cur_row * LANES)
+            elem_ids.append(eids[sel])
+            cur_row += int(c1 - c0) * CH
+        if cur_row > PR:
+            raise ValueError("part overflow")
+        chunk_src.extend(my_chunks)
+        part_meta.append(
+            dict(
+                prt=prt,
+                n_chunks=len(my_chunks),
+                elem=np.concatenate(elem_ids) if elem_ids else np.zeros(0, np.int64),
+                pos=np.concatenate(pos_in_part) if pos_in_part else np.zeros(0, np.int64),
+            )
+        )
+
+    # fix chunk_dst: consecutive chunks land consecutively in each part blk
+    chunk_dst = []
+    for pid, pm in enumerate(part_meta):
+        for c in range(pm["n_chunks"]):
+            chunk_dst.append(pid * (PR // CH) + c)
+    n_steps = len(chunk_src)
+
+    # ---- per-part routing (pi2), flags, extract -------------------------
+    route_lo_list = [np.zeros((PR, LANES), np.int32)]  # dummy block 0
+    route_hi_list = [np.zeros((PR, LANES), np.int32)]
+    route_blk = np.zeros(n_parts, np.int32)
+    ext_blk = np.zeros(n_parts, np.int32)
+    mode_np = np.zeros(n_parts, np.int32)
+    simple_pos = np.zeros(n_parts, np.int32)
+    n_rounds_np = np.zeros(n_parts, np.int32)
+    rot_np = np.zeros(n_parts * cfg.max_rounds, np.int32)
+    bin_of_part = np.zeros(n_parts, np.int32)
+    first_flag = np.zeros(n_parts, np.int32)
+    seen_bins = set()
+    dummy_ext = np.full((BR + 8, LANES), -1, np.int32)
+    dummy_ext[:8] = 0
+    ext_blocks.append(dummy_ext)  # block 0 = dummy
+
+    for pid, pm in enumerate(part_meta):
+        prt = pm["prt"]
+        bi = prt["bin"]
+        bin_of_part[pid] = bi
+        if bi not in seen_bins:
+            first_flag[pid] = 1
+            seen_bins.add(bi)
+        if prt["mode"] == 1:
+            mode_np[pid] = 1
+            d_loc = int(prt["dst"]) - bi * bin_dsts
+            simple_pos[pid] = d_loc
+            # simple parts: sum of w-expanded values of OWN elements; but
+            # the block may contain foreign elements at boundary chunks.
+            # Mask via route2: simple parts use a MASK block stored in the
+            # route arrays (route_lo as 0/1 mask) — reuse route_blk slot.
+            mask = np.zeros((PR, LANES), np.float32)
+            pp = pm["pos"]
+            mask[pp // LANES, pp % LANES] = 1.0
+            route_blk[pid] = len(route_lo_list)
+            route_lo_list.append(mask.view(np.int32).copy())
+            route_hi_list.append(np.zeros((PR, LANES), np.int32))
+            continue
+        # sorted part: first-fit lane balancing over (dst, chunk) groups.
+        # Each dst splits into chunks of <= PR elements; a chunk is placed
+        # whole on the least-delta lane with room (delta = lane - d mod
+        # 128 selects the extract rotation round).
+        eids = pm["elem"]
+        pos = pm["pos"]  # input positions in part block
+        d = dsts[eids]
+        d_loc = d - bi * bin_dsts
+        od = np.lexsort((pos, d_loc))
+        d_ord, pos_ord = d_loc[od], pos[od]
+        rank = _group_ranks(d_ord)
+        chunk_id = rank // PR
+        gkey = d_ord * 512 + chunk_id
+        guniq, gstart, gcount = np.unique(
+            gkey, return_index=True, return_counts=True
+        )
+        # place big groups first (first-fit-decreasing)
+        gorder = np.argsort(-gcount, kind="stable")
+        lane_load = np.zeros(LANES, dtype=np.int64)
+        grp_lane = np.zeros(len(guniq), dtype=np.int64)
+        grp_delta = np.zeros(len(guniq), dtype=np.int64)
+        grp_row0 = np.zeros(len(guniq), dtype=np.int64)
+        for gi_ in gorder:
+            base = int(guniq[gi_] // 512) % LANES
+            cnt = int(gcount[gi_])
+            for delta in range(LANES):
+                ln = (base + delta) % LANES
+                if lane_load[ln] + cnt <= PR:
+                    break
+            else:
+                raise ValueError("sorted part cannot be lane-balanced")
+            grp_lane[gi_] = ln
+            grp_delta[gi_] = delta
+            grp_row0[gi_] = lane_load[ln]
+            lane_load[ln] += cnt
+        # per-element targets
+        ggid = np.searchsorted(guniq, gkey)
+        within = _group_ranks(gkey)  # rank within (dst, chunk) group
+        lane_e = grp_lane[ggid]
+        row_e = grp_row0[ggid] + within
+        tgt = row_e * LANES + lane_e
+        perm = np.arange(PR * LANES, dtype=np.int64)
+        inpos = pos_ord
+        used_t = np.zeros(PR * LANES, dtype=bool)
+        used_t[tgt] = True
+        used_i = np.zeros(PR * LANES, dtype=bool)
+        used_i[inpos] = True
+        free_t = np.nonzero(~used_t)[0]
+        free_i = np.nonzero(~used_i)[0]
+        perm[inpos] = tgt
+        perm[free_i] = free_t
+        route_jobs.append((pid, perm))
+        route_blk[pid] = len(route_lo_list)
+        route_lo_list.append(None)  # filled after routing
+        route_hi_list.append(None)
+        # segment flags: first element of each group; trash positions are
+        # their own segments
+        flags = np.ones(PR * LANES, dtype=bool)
+        flags[tgt] = False
+        flags[tgt[within == 0]] = True
+        pm["flags"] = flags
+        # extract: group END positions -> rounds by delta (collision spill)
+        end_row = grp_row0 + gcount - 1
+        rounds = {}
+        for gi_ in range(len(guniq)):
+            dd = int(guniq[gi_] // 512)
+            delta = int(grp_delta[gi_])
+            r_out = dd // LANES
+            l_out = dd % LANES
+            l_src = int(grp_lane[gi_])
+            srow = int(end_row[gi_])
+            gx = 0
+            while True:
+                blkmap = rounds.setdefault((delta, gx), {})
+                if (r_out, l_src) not in blkmap:
+                    blkmap[(r_out, l_src)] = srow
+                    break
+                gx += 1
+        if len(rounds) > cfg.max_rounds:
+            raise ValueError(
+                f"part {pid}: {len(rounds)} extract rounds > max_rounds="
+                f"{cfg.max_rounds}"
+            )
+        n_rounds_np[pid] = len(rounds)
+        ext_blk[pid] = len(ext_blocks)
+        for gx_, (keyg, blkmap) in enumerate(sorted(rounds.items())):
+            delta, _ = keyg
+            rot_np[pid * cfg.max_rounds + gx_] = delta
+            blk = np.full((BR + 8, LANES), -1, np.int32)
+            win_lo = np.full(LANES, PR // 8, np.int32)
+            win_hi = np.zeros(LANES, np.int32)
+            for (r_out, l_src), srow in blkmap.items():
+                sub = srow % 8
+                svreg = srow // 8
+                blk[8 + r_out, l_src] = (svreg << 3) | sub
+                ov = r_out // 8
+                win_lo[ov] = min(win_lo[ov], svreg)
+                win_hi[ov] = max(win_hi[ov], svreg + 1)
+            blk[0] = win_lo
+            blk[1] = np.maximum(win_hi, win_lo)
+            ext_blocks.append(blk)
+
+    # run benes routing (parallel, C++ releases the GIL)
+    def _route(job):
+        pid, perm = job
+        packed = pack_bits(route_benes(perm))  # (1 or 2, n)
+        assert _n_stages(PR * LANES) <= 37, "part too large for 2 route words"
+        flags = part_meta[pid]["flags"]
+        lo = packed[0].reshape(PR, LANES)
+        hi = packed[1] if packed.shape[0] > 1 else np.zeros_like(packed[0])
+        hi = (
+            hi.astype(np.uint32) | (flags.astype(np.uint32) << 5)
+        ).astype(np.int32)
+        return pid, lo, hi.reshape(PR, LANES)
+
+    with ThreadPoolExecutor(max_workers=8) as tp:
+        for pid, lo, hi in tp.map(_route, route_jobs):
+            route_lo_list[route_blk[pid]] = lo
+            route_hi_list[route_blk[pid]] = hi
+
+    route_lo_np = np.concatenate(
+        [b.reshape(PR, LANES) for b in route_lo_list], axis=0
+    )
+    route_hi_np = np.concatenate(
+        [b.reshape(PR, LANES) for b in route_hi_list], axis=0
+    )
+    ext_np = np.concatenate(ext_blocks, axis=0)
+
+    # K-B routing per slab
+    r1_lo = np.zeros((slot_rows, LANES), np.int32)
+    r1_hi = np.zeros((slot_rows, LANES), np.int32)
+
+    def _route1(s):
+        lo, hi = s * slab_e, (s + 1) * slab_e
+        perm = pi1[lo:hi] - lo
+        packed = pack_bits(route_benes(perm))
+        return s, packed
+
+    with ThreadPoolExecutor(max_workers=8) as tp:
+        for s, packed in tp.map(_route1, range(n_slabs)):
+            r1_lo[s * SR : (s + 1) * SR] = packed[0].reshape(SR, LANES)
+            if packed.shape[0] > 1:
+                r1_hi[s * SR : (s + 1) * SR] = packed[1].reshape(SR, LANES)
+
+    return SortedLayout(
+        prow=jnp.asarray(prow_np),
+        idx=jnp.asarray(idx_np),
+        w=jnp.asarray(w_np),
+        hub_ids=jnp.asarray(
+            hub_ids.astype(np.int32)
+            if n_hub_rows
+            else np.zeros(1, np.int32)
+        ),
+        route1_lo=jnp.asarray(r1_lo),
+        route1_hi=jnp.asarray(r1_hi),
+        chunk_src=jnp.asarray(np.asarray(chunk_src, np.int32)),
+        chunk_dst=jnp.asarray(np.asarray(chunk_dst, np.int32)),
+        route2_lo=jnp.asarray(route_lo_np),
+        route2_hi=jnp.asarray(route_hi_np),
+        ext=jnp.asarray(ext_np),
+        route_blk=jnp.asarray(route_blk),
+        ext_blk=jnp.asarray(ext_blk),
+        bin_of_part=jnp.asarray(bin_of_part),
+        first_flag=jnp.asarray(first_flag),
+        mode=jnp.asarray(mode_np),
+        simple_pos=jnp.asarray(simple_pos),
+        n_rounds=jnp.asarray(n_rounds_np),
+        rot=jnp.asarray(rot_np),
+        cfg=cfg,
+        n_slabs=n_slabs,
+        n_parts=n_parts,
+        n_bins=n_bins,
+        n_steps=n_steps,
+        x_rows=x_rows,
+        num_vertices=v,
+        num_edges=e,
+    )
+
+
+def _n_stages(n):
+    k = n.bit_length() - 1
+    return 2 * k - 1
+
+
+def _group_ranks(sorted_keys: np.ndarray) -> np.ndarray:
+    """Rank within each group of equal consecutive keys."""
+    n = len(sorted_keys)
+    if not n:
+        return np.zeros(0, np.int64)
+    first = np.ones(n, dtype=bool)
+    first[1:] = sorted_keys[1:] != sorted_keys[:-1]
+    ar = np.arange(n, dtype=np.int64)
+    start = np.maximum.accumulate(np.where(first, ar, 0))
+    return ar - start
+
+
+def _group_max(sorted_keys: np.ndarray, vals: np.ndarray) -> np.ndarray:
+    """Max of vals per group, broadcast back (keys sorted)."""
+    n = len(sorted_keys)
+    out = np.zeros(n, dtype=vals.dtype)
+    if not n:
+        return out
+    first = np.ones(n, dtype=bool)
+    first[1:] = sorted_keys[1:] != sorted_keys[:-1]
+    gid = np.cumsum(first) - 1
+    gmax = np.zeros(gid[-1] + 1, dtype=vals.dtype)
+    np.maximum.at(gmax, gid, vals)
+    return gmax[gid]
+
+
+# ===========================================================================
+# Pallas kernels
+# ===========================================================================
+
+
+def _apply_benes_block(x, lo, hi, rows, lanes=LANES):
+    """Apply packed Benes switch bits to a (rows, lanes) f32 block.
+
+    Flat position = row*lanes + lane; stage s distance d: lane butterfly
+    for d < lanes, row butterfly (d // lanes) otherwise. An arithmetic
+    shift of the sign bit still yields the correct bit after & 1."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    n = rows * lanes
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (rows, lanes), 1)
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (rows, lanes), 0)
+    for s, d in enumerate(stage_distances(n)):
+        word = lo if s < 32 else hi
+        bit = ((word >> (s % 32)) & 1) != 0
+        if d < lanes:
+            hi_m = (lane_iota & d) != 0
+            z = jnp.where(
+                hi_m,
+                pltpu.roll(x, d, axis=1),
+                pltpu.roll(x, lanes - d, axis=1),
+            )
+        else:
+            rd = d // lanes
+            hi_m = (row_iota & rd) != 0
+            z = jnp.where(
+                hi_m,
+                pltpu.roll(x, rd, axis=0),
+                pltpu.roll(x, rows - rd, axis=0),
+            )
+        x = jnp.where(bit, z, x)
+    return x
+
+
+def _seg_scan_rows(x, flags, rows):
+    """Segmented inclusive scan along axis 0 per lane; flags=1 starts a
+    segment."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    f = flags.astype(jnp.float32)
+    d = 1
+    while d < rows:
+        xs = pltpu.roll(x, d, axis=0)
+        fs = pltpu.roll(f, d, axis=0)
+        ok = (row >= d) & (f == 0.0)
+        x = x + jnp.where(ok, xs, 0.0)
+        f = jnp.maximum(f, jnp.where(row >= d, fs, 1.0))
+        d *= 2
+    return x
+
+
+def _expand_call(layout, table, interpret):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    TA = min(512, layout.idx.shape[0])
+    TV = TA // 8
+    slot_rows = layout.idx.shape[0]
+
+    def kern(prow_ref, x_ref, idx_ref, w_ref, o_ref):
+        i = pl.program_id(0)
+
+        def body(v, _):
+            pr = prow_ref[i * TV + v]
+            page = x_ref[pl.ds(pr, 8), :]
+            idxv = idx_ref[pl.ds(v * 8, 8), :]
+            vals = jnp.zeros((8, LANES), jnp.float32)
+            for r in range(8):
+                vals = vals + jnp.where(idxv == r, page[r][None, :], 0.0)
+            o_ref[pl.ds(v * 8, 8), :] = vals * w_ref[pl.ds(v * 8, 8), :]
+            return 0
+
+        jax.lax.fori_loop(0, TV, body, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(slot_rows // TA,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # x table resident
+            pl.BlockSpec((TA, LANES), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TA, LANES), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (TA, LANES), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
+        ),
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((slot_rows, LANES), jnp.float32),
+        interpret=interpret,
+    )(layout.prow, table, layout.idx, layout.w)
+
+
+def _slab_benes_call(layout, vals, interpret):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    SR = layout.cfg.slab_rows
+
+    def kern(v_ref, lo_ref, hi_ref, o_ref):
+        o_ref[:] = _apply_benes_block(v_ref[:], lo_ref[:], hi_ref[:], SR)
+
+    spec = pl.BlockSpec((SR, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kern,
+        grid=(layout.n_slabs,),
+        in_specs=[spec, spec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct(vals.shape, jnp.float32),
+        interpret=interpret,
+    )(vals, layout.route1_lo, layout.route1_hi)
+
+
+def _assemble_call(layout, binned, interpret):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    CH = layout.cfg.chunk_rows
+    PR = layout.cfg.part_rows
+
+    def kern(cs_ref, cd_ref, v_ref, o_ref):
+        o_ref[:] = v_ref[:]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(layout.n_steps,),
+        in_specs=[
+            pl.BlockSpec(
+                (CH, LANES), lambda i, cs, cd: (cs[i], 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (CH, LANES), lambda i, cs, cd: (cd[i], 0), memory_space=pltpu.VMEM
+        ),
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (layout.n_parts * PR, LANES), jnp.float32
+        ),
+        interpret=interpret,
+    )(layout.chunk_src, layout.chunk_dst, binned)
+
+
+def _sort_reduce_call(
+    layout, pblocks, ext_idx, win_pack, rot_g, rounds_static, interpret
+):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    PR = layout.cfg.part_rows
+    BR = layout.cfg.bin_rows
+    G = rounds_static
+    OV = BR // 8
+
+    def kern(
+        rb_ref, ei_ref, bp_ref, ff_ref, md_ref, sp_ref, rot_ref, wp_ref,
+        v_ref, lo_ref, hi_ref, *ext_and_out
+    ):
+        ext_refs = ext_and_out[:G]
+        o_ref = ext_and_out[G]
+        scratch = ext_and_out[G + 1]
+        t = pl.program_id(0)
+
+        @pl.when(ff_ref[t] == 1)
+        def _():
+            o_ref[:] = jnp.zeros_like(o_ref)
+
+        lane_iota = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 1)
+
+        @pl.when(md_ref[t] == 1)
+        def _():
+            # simple part: masked sum -> one dst slot (where, not multiply:
+            # unwritten assembly rows may hold non-finite garbage)
+            mask = pltpu.bitcast(lo_ref[:], jnp.float32)
+            total = jnp.sum(jnp.where(mask > 0, v_ref[:], 0.0))
+            spos = sp_ref[t]
+            r = spos // LANES
+            sub = r % 8
+            row_iota8 = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 0)
+            add = jnp.where(
+                (lane_iota == spos % LANES) & (row_iota8 == sub), total, 0.0
+            )
+            base = pl.multiple_of((r // 8) * 8, 8)
+            cur = o_ref[pl.ds(base, 8), :]
+            o_ref[pl.ds(base, 8), :] = cur + add
+
+        @pl.when(md_ref[t] == 0)
+        def _():
+            x = _apply_benes_block(v_ref[:], lo_ref[:], hi_ref[:], PR)
+            flags = ((hi_ref[:] >> 5) & 1).astype(jnp.float32)
+            scratch[:] = _seg_scan_rows(x, flags, PR)
+            for g in range(G):
+                ext = ext_refs[g]
+                rot = rot_ref[t * G + g]
+                shift = (LANES - rot) % LANES
+
+                def ov_body(o, _):
+                    wl = wp_ref[(t * G + g) * OV + o]
+                    lo_w = wl >> 16
+                    hi_w = wl & 0xFFFF
+                    route = ext[pl.ds(8 + o * 8, 8), :]
+                    valid = route >= 0
+                    sub = route & 7
+                    svreg = route >> 3
+
+                    def u_body(u, acc):
+                        page = scratch[pl.ds(u * 8, 8), :]
+                        gvals = jnp.zeros((8, LANES), jnp.float32)
+                        for r in range(8):
+                            gvals = gvals + jnp.where(
+                                sub == r, page[r][None, :], 0.0
+                            )
+                        return acc + jnp.where(
+                            valid & (svreg == u), gvals, 0.0
+                        )
+
+                    acc = jax.lax.fori_loop(
+                        lo_w, hi_w, u_body, jnp.zeros((8, LANES), jnp.float32)
+                    )
+                    for k in range(7):
+                        acc = jnp.where(
+                            (shift >> k) & 1 != 0,
+                            pltpu.roll(acc, 1 << k, axis=1),
+                            acc,
+                        )
+                    cur = o_ref[pl.ds(o * 8, 8), :]
+                    o_ref[pl.ds(o * 8, 8), :] = cur + acc
+                    return 0
+
+                jax.lax.fori_loop(0, OV, ov_body, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=8,
+        grid=(layout.n_parts,),
+        in_specs=[
+            pl.BlockSpec(
+                (PR, LANES), lambda t, *p: (t, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (PR, LANES), lambda t, *p: (p[0][t], 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (PR, LANES), lambda t, *p: (p[0][t], 0), memory_space=pltpu.VMEM
+            ),
+        ]
+        + [
+            pl.BlockSpec(
+                (BR + 8, LANES),
+                (lambda g: lambda t, *p: (p[1][t * G + g], 0))(g),
+                memory_space=pltpu.VMEM,
+            )
+            for g in range(G)
+        ],
+        out_specs=pl.BlockSpec(
+            (BR, LANES), lambda t, *p: (p[2][t], 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[pltpu.VMEM((PR, LANES), jnp.float32)],
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((layout.n_bins * BR, LANES), jnp.float32),
+        interpret=interpret,
+    )(
+        layout.route_blk,
+        ext_idx,
+        layout.bin_of_part,
+        layout.first_flag,
+        layout.mode,
+        layout.simple_pos,
+        rot_g,
+        win_pack,
+        pblocks,
+        layout.route2_lo,
+        layout.route2_hi,
+        *([layout.ext] * G),
+    )
+
+
+def sorted_spmv(layout: SortedLayout, x: jax.Array, *, interpret: bool = False):
+    """y[dst] = sum over edges (src -> dst) of w * x[src] via the sorted
+    pipeline. x: (num_vertices,) f32."""
+    ext_idx, win_pack, rot_g, rounds_static = _ext_meta(layout)
+    return _sorted_spmv_jit(
+        layout, x, ext_idx, win_pack, rot_g, rounds_static, interpret
+    )
+
+
+@partial(jax.jit, static_argnames=("rounds_static", "interpret"))
+def _sorted_spmv_jit(
+    layout: SortedLayout,
+    x: jax.Array,
+    ext_idx,
+    win_pack,
+    rot_g,
+    rounds_static: int,
+    interpret: bool = False,
+):
+    xr = layout.x_rows
+    n_hub = layout.hub_ids.shape[0]
+    trows = -(-(xr + n_hub) // 8) * 8
+    xpad = jnp.zeros(xr * LANES, jnp.float32).at[: layout.num_vertices].set(x)
+    hub_vals = jnp.take(xpad, layout.hub_ids)  # small XLA gather
+    table = jnp.zeros((trows, LANES), jnp.float32)
+    table = table.at[:xr].set(xpad.reshape(xr, LANES))
+    table = table.at[xr : xr + n_hub].set(
+        jnp.broadcast_to(hub_vals[:, None], (n_hub, LANES))
+    )
+    vals = _expand_call(layout, table, interpret)
+    binned = _slab_benes_call(layout, vals, interpret)
+    pblocks = _assemble_call(layout, binned, interpret)
+    y = _sort_reduce_call(
+        layout, pblocks, ext_idx, win_pack, rot_g, rounds_static, interpret
+    )
+    return y.reshape(-1)[: layout.num_vertices]
+
+
+def _ext_meta(layout: SortedLayout):
+    """Per-(part, round) ext block indices and packed extract windows.
+
+    Host-side derivation from the layout (cached on the layout via id)."""
+    key = id(layout.ext)
+    hit = _EXT_META_CACHE.get(key)
+    if hit is not None and hit[0] is layout.ext:
+        return hit[1]
+    BR = layout.cfg.bin_rows
+    OV = BR // 8
+    n_parts = layout.n_parts
+    n_rounds = np.asarray(layout.n_rounds)
+    ext_blk = np.asarray(layout.ext_blk)
+    ext_np = np.asarray(layout.ext)
+    g_static = max(int(n_rounds.max(initial=1)), 1)
+    rot_np = np.asarray(layout.rot)
+    mr = layout.cfg.max_rounds
+    ext_idx = np.zeros(n_parts * g_static, np.int32)
+    rot_g = np.zeros(n_parts * g_static, np.int32)
+    win = np.zeros(n_parts * g_static * OV, np.int32)
+    for pid in range(n_parts):
+        for g in range(g_static):
+            if g < n_rounds[pid]:
+                eb = ext_blk[pid] + g
+                ext_idx[pid * g_static + g] = eb
+                rot_g[pid * g_static + g] = rot_np[pid * mr + g]
+                blk = ext_np[eb * (BR + 8) : eb * (BR + 8) + 2]
+                lo = blk[0, :OV].astype(np.int64)
+                hi = blk[1, :OV].astype(np.int64)
+                win[(pid * g_static + g) * OV : (pid * g_static + g + 1) * OV] = (
+                    (lo << 16) | hi
+                ).astype(np.int32)
+            # else: dummy block 0, window [0,0) -> no work
+    out = (jnp.asarray(ext_idx), jnp.asarray(win), jnp.asarray(rot_g), g_static)
+    if len(_EXT_META_CACHE) > 8:
+        _EXT_META_CACHE.clear()
+    _EXT_META_CACHE[key] = (layout.ext, out)
+    return out
+
+
+_EXT_META_CACHE: dict = {}

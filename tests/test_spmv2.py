@@ -1,0 +1,80 @@
+"""SpMV v2 sorted pipeline: builder + Benes routing + kernels (interpret).
+
+The pipeline realizes a static permutation of edge values (expand ->
+slab Benes -> assemble -> part Benes -> segmented scan -> extract); each
+trial checks the end-to-end result against a dense numpy oracle.
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from cugraph_tpu.prims.pallas.benes import (
+    apply_benes_np,
+    route_benes,
+    route_benes_py,
+    stage_distances,
+)
+from cugraph_tpu.prims.pallas.spmv2 import (
+    TINY,
+    Spmv2Config,
+    build_sorted_layout,
+    sorted_spmv,
+)
+
+
+def test_benes_routing_py_and_cpp():
+    rng = np.random.default_rng(0)
+    for n in [2, 8, 128, 1024, 4096]:
+        perm = rng.permutation(n)
+        bits = route_benes_py(perm)
+        y = apply_benes_np(np.arange(n), bits)
+        assert (y[perm] == np.arange(n)).all()
+        bits_c = route_benes(perm)
+        yc = apply_benes_np(np.arange(n), bits_c)
+        assert (yc[perm] == np.arange(n)).all()
+    assert len(stage_distances(1024)) == 19
+
+
+def _random_graph(rng, v, e, hubby):
+    src = rng.integers(0, v, e)
+    dst = rng.integers(0, v, e)
+    if hubby:
+        m = rng.random(e) < 0.5
+        src[m] = rng.integers(0, max(v // 50, 1), m.sum())
+        dst[m] = rng.integers(0, max(v // 50, 1), m.sum())
+    w = rng.random(e).astype(np.float32)
+    return src, dst, w
+
+
+@pytest.mark.parametrize(
+    "v,e,hubby",
+    [(50, 200, False), (300, 2000, True), (2500, 9000, True), (4000, 6000, False)],
+)
+def test_sorted_spmv_matches_oracle(v, e, hubby):
+    rng = np.random.default_rng(v + e)
+    src, dst, w = _random_graph(rng, v, e, hubby)
+    x = rng.random(v).astype(np.float32)
+    oracle = np.zeros(v, np.float64)
+    np.add.at(oracle, dst, w.astype(np.float64) * x[src])
+    layout = build_sorted_layout(dst, src, w, v, TINY)
+    y = np.asarray(sorted_spmv(layout, jnp.asarray(x), interpret=True))
+    np.testing.assert_allclose(y, oracle, rtol=1e-4, atol=1e-4)
+
+
+def test_sorted_spmv_unweighted_and_empty_dsts():
+    rng = np.random.default_rng(7)
+    v, e = 600, 1500
+    src = rng.integers(0, v // 2, e)  # upper half of dsts stays empty
+    dst = rng.integers(0, v // 2, e)
+    oracle = np.zeros(v, np.float64)
+    x = rng.random(v).astype(np.float32)
+    np.add.at(oracle, dst, x[src].astype(np.float64))
+    layout = build_sorted_layout(dst, src, None, v, TINY)
+    y = np.asarray(sorted_spmv(layout, jnp.asarray(x), interpret=True))
+    np.testing.assert_allclose(y, oracle, rtol=1e-4, atol=1e-4)
+    assert (y[v // 2 :] == 0).all()
