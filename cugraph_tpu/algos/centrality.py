@@ -26,16 +26,17 @@ from ..prims.per_v import (
 from ..utils.dtypes import WEIGHT_DTYPE
 
 
-@partial(jax.jit, static_argnames=("max_iterations", "normalized"))
-def _katz_jit(g: Graph, alpha, beta, tol, x0, max_iterations: int, normalized: bool):
+@partial(jax.jit, static_argnames=("max_iterations", "normalized", "lkind"))
+def _katz_jit(
+    g: Graph, alpha, beta, tol, x0, max_iterations: int, normalized: bool,
+    lkind=None, layout=None,
+):
     v = g.num_vertices
 
     def pull(values):
-        return per_v_transform_reduce_incoming_e(
-            g,
-            lambda s, d, sv, dv, w: sv if w is None else sv * w,
-            src_values=values,
-        )
+        from ..prims.pallas import pull_aggregate
+
+        return pull_aggregate(lkind, layout, g, values)
 
     def cond(state):
         x, diff, it = state
@@ -76,6 +77,9 @@ def katz_centrality(
         if nstart is not None
         else jnp.zeros(v, dtype=WEIGHT_DTYPE)
     )
+    from ..prims.pallas import pull_layout_auto
+
+    lkind, layout = pull_layout_auto(g)
     x, iters = _katz_jit(
         g,
         jnp.asarray(alpha, WEIGHT_DTYPE),
@@ -84,20 +88,20 @@ def katz_centrality(
         x0,
         max_iterations,
         normalized,
+        lkind,
+        layout,
     )
     return x, int(iters)
 
 
-@partial(jax.jit, static_argnames=("max_iterations",))
-def _eigenvector_jit(g: Graph, tol, x0, max_iterations: int):
+@partial(jax.jit, static_argnames=("max_iterations", "lkind"))
+def _eigenvector_jit(g: Graph, tol, x0, max_iterations: int, lkind=None, layout=None):
     v = g.num_vertices
 
     def pull(values):
-        return per_v_transform_reduce_incoming_e(
-            g,
-            lambda s, d, sv, dv, w: sv if w is None else sv * w,
-            src_values=values,
-        )
+        from ..prims.pallas import pull_aggregate
+
+        return pull_aggregate(lkind, layout, g, values)
 
     def cond(state):
         x, diff, it = state
@@ -130,7 +134,12 @@ def eigenvector_centrality(
         if nstart is not None
         else jnp.full(v, 1.0 / v, dtype=WEIGHT_DTYPE)
     )
-    x, iters = _eigenvector_jit(g, jnp.asarray(tol, WEIGHT_DTYPE), x0, max_iterations)
+    from ..prims.pallas import pull_layout_auto
+
+    lkind, layout = pull_layout_auto(g)
+    x, iters = _eigenvector_jit(
+        g, jnp.asarray(tol, WEIGHT_DTYPE), x0, max_iterations, lkind, layout
+    )
     return x, int(iters)
 
 

@@ -43,11 +43,10 @@ def _pagerank_jit(
         return sv if w is None else sv * w
 
     def aggregate(msg):
-        if pull_layout is not None:
-            from ..prims.pallas.spmv import pull_spmv
+        from ..prims.pallas import pull_aggregate
 
-            return pull_spmv(pull_layout, msg)
-        return per_v_transform_reduce_incoming_e(g, e_op, src_values=msg)
+        kind, lay = pull_layout if pull_layout is not None else (None, None)
+        return pull_aggregate(kind, lay, g, msg)
 
     def cond(state):
         pr, diff, it = state
@@ -93,10 +92,14 @@ def pagerank(
     layout = None
     # explicit use_pallas=True bypasses the edge-count heuristic (build the
     # layout or raise); the heuristic only gates the auto path
-    if use_pallas or (use_pallas is not False and g.num_edges >= 1 << 18):
-        from ..prims.pallas.spmv import pull_layout_for
+    if use_pallas or use_pallas is not False:
+        from ..prims.pallas import pull_layout_auto
 
-        layout = pull_layout_for(g)
+        kind, lay = pull_layout_auto(
+            g, min_edges=0 if use_pallas else 1 << 18
+        )
+        if kind is not None:
+            layout = (kind, lay)
         if use_pallas and layout is None:
             raise RuntimeError("pallas SpMV unavailable for this graph/backend")
     if personalization is not None:

@@ -39,9 +39,25 @@ def spmm_aggregate(
         return sv
 
     if op in ("sum", "mean"):
-        agg = per_v_transform_reduce_incoming_e(
-            g, e_op, reduce_op=PLUS, src_values=features
-        )
+        # TPU: route through the sorted pipeline (multi-Gelem/s per
+        # feature column vs the near-scalar XLA row gather/segment path)
+        from ..prims.pallas.spmv2 import sorted_layout_for, sorted_spmm
+
+        lay = None
+        # layout build is host-side: only when the graph is concrete
+        # (closed over / outside jit), not a traced argument
+        if g.num_edges >= 1 << 18 and not isinstance(
+            g.csc().majors, jax.core.Tracer
+        ):
+            lay = sorted_layout_for(g, use_weights=use_weights)
+        if lay is not None:
+            agg = sorted_spmm(lay, features.astype(jnp.float32)).astype(
+                features.dtype
+            )
+        else:
+            agg = per_v_transform_reduce_incoming_e(
+                g, e_op, reduce_op=PLUS, src_values=features
+            )
         if op == "mean":
             deg = g.in_degrees().astype(features.dtype)
             agg = agg / jnp.maximum(deg, 1)[:, None]

@@ -1,1 +1,58 @@
-from .spmv import PullLayout, build_pull_layout, pull_spmv, pallas_spmv_available
+"""Pallas TPU kernels: the hot compute paths.
+
+- spmv2: the sorted pipeline (Benes static routing) — the primary SpMV/
+  SpMM engine, multi-Gelem/s per pass (see docs/PERFORMANCE.md).
+- spmv: the v1 windowed one-hot kernel (XLA-gather bound; fallback).
+- scan: two-level prefix sum building block.
+- benes: Benes network routing for static on-chip permutations.
+"""
+
+from typing import Optional, Tuple
+
+import jax
+
+
+def pull_layout_auto(g, *, min_edges: int = 1 << 18):
+    """Best available pull-aggregation layout for this backend/graph:
+    ("sorted", SortedLayout) > ("v1", PullLayout) > (None, None).
+
+    The returned pair can be passed into jitted algorithm bodies; the jit
+    retraces per layout TYPE (pytree structure), so the selected engine is
+    compile-time static."""
+    if g.num_edges >= min_edges:
+        from .spmv2 import _ext_meta, sorted_layout_for
+
+        lay = sorted_layout_for(g)
+        if lay is not None:
+            ext_idx, win_pack, rot_g, _ = _ext_meta(lay)
+            return "sorted", (lay, ext_idx, win_pack, rot_g)
+        from .spmv import pull_layout_for
+
+        l1 = pull_layout_for(g)
+        if l1 is not None:
+            return "v1", l1
+    return None, None
+
+
+def pull_aggregate(kind: Optional[str], layout, g, msg):
+    """out[v] = sum over incoming edges (u -> v) of w_uv * msg[u], routed
+    through the chosen engine (call inside jit; kind is trace-static)."""
+    if kind == "sorted":
+        from .spmv2 import _sorted_spmv_jit
+
+        lay, ext_idx, win_pack, rot_g = layout
+        rounds_static = ext_idx.shape[0] // lay.n_parts  # shape-static
+        return _sorted_spmv_jit(
+            lay, msg, ext_idx, win_pack, rot_g, rounds_static
+        )
+    if kind == "v1":
+        from .spmv import pull_spmv
+
+        return pull_spmv(layout, msg)
+    from ..per_v import per_v_transform_reduce_incoming_e
+
+    return per_v_transform_reduce_incoming_e(
+        g,
+        lambda s, d, sv, dv, w: sv if w is None else sv * w,
+        src_values=msg,
+    )

@@ -311,7 +311,10 @@ def build_sorted_layout(
     for ridx, (s, bi, r0, n_el) in enumerate(run_info):
         runs_by_bin.setdefault(bi, []).append(ridx)
 
-    heavy_v = np.nonzero(in_cnt >= cfg.heavy_dst)[0]
+    # any dst bigger than one lane chunk goes to the simple-sum path:
+    # multi-chunk dsts in sorted parts cascade first-fit deltas
+    heavy_eff = min(cfg.heavy_dst, part_e // LANES)
+    heavy_v = np.nonzero(in_cnt >= heavy_eff)[0]
 
     def piece_rows(sel, r0):
         """Chunk-row extent a piece occupies in the part block."""
@@ -952,6 +955,11 @@ def _sort_reduce_call(
         kern,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((layout.n_bins * BR, LANES), jnp.float32),
+        compiler_params=None
+        if interpret
+        else __import__(
+            "jax.experimental.pallas.tpu", fromlist=["x"]
+        ).CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(
         layout.route_blk,
@@ -1048,3 +1056,89 @@ def _ext_meta(layout: SortedLayout):
 
 
 _EXT_META_CACHE: dict = {}
+
+
+def sorted_spmm(layout: SortedLayout, feats: jax.Array) -> jax.Array:
+    """Feature-matrix aggregation: out[dst, :] = sum_e w * feats[src, :].
+
+    Runs the scalar pipeline once per feature column via lax.map (one
+    compile, F sequential passes). Each pass is bandwidth-shaped, so this
+    is ~F x the SpMV cost — still orders of magnitude ahead of the XLA
+    row-gather/segment path (0.009 Grow/s measured). A fused MXU variant
+    (one-hot placement amortized over F) is the next optimization."""
+    ext_idx, win_pack, rot_g, rounds_static = _ext_meta(layout)
+
+    def one(col):
+        return _sorted_spmv_jit(
+            layout, col, ext_idx, win_pack, rot_g, rounds_static
+        )
+
+    cols = jnp.swapaxes(feats, 0, 1)  # (F, V)
+    out = jax.lax.map(one, cols)
+    return jnp.swapaxes(out, 0, 1)
+
+
+_SORTED_CACHE: dict = {}
+# single-chip VMEM budget for the resident x table (f32)
+_SORTED_VMEM_BUDGET = 10 * 1024 * 1024
+
+
+def sorted_layout_available(num_vertices: int) -> bool:
+    if jax.default_backend() not in ("tpu", "axon"):
+        return False
+    r = -(-num_vertices // LANES)
+    return r * LANES * 4 <= _SORTED_VMEM_BUDGET
+
+
+def build_sorted_layout_auto(
+    dsts, srcs, weights, num_vertices, cfg: Optional[Spmv2Config] = None
+) -> SortedLayout:
+    """build_sorted_layout with an auto-retry ladder: on round/balance
+    overflow, halve the heavy-dst threshold (more simple parts)."""
+    cfg = cfg or Spmv2Config()
+    heavy = min(cfg.heavy_dst, cfg.part_rows)
+    last = None
+    while heavy >= 128:
+        try:
+            return build_sorted_layout(
+                dsts, srcs, weights, num_vertices,
+                dataclasses.replace(cfg, heavy_dst=heavy),
+            )
+        except ValueError as exc:
+            last = exc
+            heavy //= 2
+    raise last
+
+
+def sorted_layout_for(
+    graph,
+    cfg: Optional[Spmv2Config] = None,
+    direction: str = "in",
+    use_weights: bool = True,
+):
+    """Build (and cache) the sorted-pipeline layout for a Graph.
+
+    direction "in": y[dst] += w*x[src] (pull over the in-adjacency);
+    direction "out": y[src] += w*x[dst] (push-transpose, for HITS).
+    use_weights=False ignores edge weights (GNN mean/sum semantics).
+    None when unavailable (non-TPU backend / too large)."""
+    if not sorted_layout_available(graph.num_vertices):
+        return None
+    adj = graph.csc() if direction == "in" else graph.csr()
+    key = (id(adj.majors), direction, use_weights)
+    hit = _SORTED_CACHE.get(key)
+    if hit is not None and hit[0] is adj.majors:
+        return hit[1]
+    e = adj.num_edges
+    d = np.asarray(adj.majors)[:e].astype(np.int64)
+    s = np.asarray(adj.minors)[:e].astype(np.int64)
+    wts = (
+        None
+        if (adj.weights is None or not use_weights)
+        else np.asarray(adj.weights)[:e]
+    )
+    layout = build_sorted_layout_auto(d, s, wts, graph.num_vertices, cfg)
+    if len(_SORTED_CACHE) > 4:
+        _SORTED_CACHE.clear()
+    _SORTED_CACHE[key] = (adj.majors, layout)
+    return layout
