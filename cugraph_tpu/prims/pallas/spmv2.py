@@ -745,7 +745,9 @@ def _expand_call(layout, table, interpret):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    TA = min(512, layout.idx.shape[0])
+    # TA must divide slot_rows (= n_slabs * slab_rows): use a divisor of
+    # slab_rows so no tail rows are dropped
+    TA = min(512, layout.cfg.slab_rows)
     TV = TA // 8
     slot_rows = layout.idx.shape[0]
 
