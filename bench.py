@@ -109,18 +109,19 @@ def main():
     if args.full:
         bfs_eps, bfs_t = bench_bfs(g, num_edges)
         spmm_eps, spmm_t = bench_spmm(g, num_edges)
-        print(
-            json.dumps(
-                {
-                    "bfs_edges_per_s": bfs_eps,
-                    "bfs_seconds": bfs_t,
-                    "spmm_edges_per_s": spmm_eps,
-                    "spmm_seconds": spmm_t,
-                    "pagerank_seconds_20it": t,
-                }
-            ),
-            file=sys.stderr,
-        )
+        full = {
+            "bfs_edges_per_s": bfs_eps,
+            "bfs_seconds": bfs_t,
+            "bfs_vs_baseline": bfs_eps / BASELINE_EDGES_PER_S,
+            "spmm_edges_per_s": spmm_eps,
+            "spmm_seconds": spmm_t,
+            "pagerank_seconds_20it": t,
+            "scale": args.scale,
+            "edgefactor": args.edgefactor,
+        }
+        print(json.dumps(full), file=sys.stderr)
+        with open("bench_full.json", "w") as f:
+            json.dump(full, f)
     print(
         json.dumps(
             {

@@ -63,7 +63,7 @@ class Spmv2Config:
 
 TINY = Spmv2Config(
     slab_rows=16, part_rows=16, bin_rows=8, chunk_rows=2, hub_deg=8,
-    heavy_dst=64, max_rounds=3,
+    heavy_dst=64, max_rounds=16,
 )
 
 
@@ -109,6 +109,17 @@ class SortedLayout:
 # ===========================================================================
 
 
+import time as _time
+_T0 = [None]
+def _T(tag):
+    import os
+    if os.environ.get("SPMV2_TIMERS"):
+        now = _time.perf_counter()
+        if _T0[0] is not None:
+            print(f"  {tag}: {now - _T0[0]:.1f}s", flush=True)
+        _T0[0] = now
+
+
 def build_sorted_layout(
     dsts: np.ndarray,
     srcs: np.ndarray,
@@ -132,6 +143,7 @@ def build_sorted_layout(
     bin_dsts = BR * LANES
     x_rows = max(-(-v // LANES), 8)
 
+    _T("stage0")
     # ---- K-A: slot assignment -------------------------------------------
     out_cnt = np.bincount(srcs, minlength=v)
     hub_mask_v = out_cnt >= cfg.hub_deg
@@ -198,6 +210,7 @@ def build_sorted_layout(
     hub_row0[n_hub_rows] = -(-cur // 8) * 8
     h_total_rows = int(hub_row0[-1])
 
+    _T("stage1")
     # ---- dense (pre-slab) placement -------------------------------------
     n_bins = max(-(-v // bin_dsts), 1)
     slot_rows_raw = nh_total_rows + h_total_rows
@@ -222,28 +235,20 @@ def build_sorted_layout(
         idx_of_edge[order_h] = ((x_rows + hub_idx_of) % 8).astype(np.int32)
         dense_prow[row // 8] = ((x_rows + hub_idx_of) // 8 * 8).astype(np.int32)
 
+    _T("stage2")
     # ---- slab-capacity-aware vreg packing --------------------------------
     # Each slab must keep slack for the per-run row alignment of the bin
     # grouping (<= n_bins rows per slab + 1 spare vreg).
-    elems_per_vreg = np.bincount(row_of_edge // 8, minlength=dense_vregs)
+    # closed form: every slab reserves pad_vregs trailing vregs, so real
+    # elements per slab <= slab_e - reserve regardless of fill pattern
     reserve = (n_bins + 8) * LANES
-    cap = max(slab_e - reserve, slab_e // 2)
-    new_vreg = np.zeros(dense_vregs, dtype=np.int64)
-    cur_vreg, cur_fill = 0, 0
-    for vr in range(dense_vregs):
-        ne_ = int(elems_per_vreg[vr]) or 0
-        slab_idx = cur_vreg // (SR // 8)
-        next_slab_start = (slab_idx + 1) * (SR // 8)
-        if cur_fill + ne_ > cap:
-            cur_vreg = next_slab_start
-            cur_fill = 0
-        new_vreg[vr] = cur_vreg
-        cur_vreg += 1
-        if cur_vreg % (SR // 8) == 0:
-            cur_fill = 0
-        else:
-            cur_fill += ne_
-    n_slabs = max(int(new_vreg[-1]) // (SR // 8) + 1, 1) if dense_vregs else 1
+    pad_vregs = min(-(-reserve // (8 * LANES)), SR // 16)
+    k_real = SR // 8 - pad_vregs
+    vr_idx = np.arange(dense_vregs, dtype=np.int64)
+    new_vreg = vr_idx + (vr_idx // k_real) * pad_vregs
+    n_slabs = (
+        max(int(new_vreg[-1]) // (SR // 8) + 1, 1) if dense_vregs else 1
+    )
     slot_rows = n_slabs * SR
     n_vregs = slot_rows // 8
     idx_np = np.zeros((slot_rows, LANES), dtype=np.int32)
@@ -255,6 +260,7 @@ def build_sorted_layout(
     idx_np[final_row, lane_of_edge] = idx_of_edge
     w_np[final_row, lane_of_edge] = w
 
+    _T("stage3")
     # ---- global sorted order, bins, parts -------------------------------
     sort_order = np.argsort(dsts, kind="stable")  # edges in dst order
     d_sorted = dsts[sort_order]
@@ -268,42 +274,49 @@ def build_sorted_layout(
     # costs nothing)
     bin_of_edge = dsts // bin_dsts
 
-    # build per-slab permutations + run table
-    pi1 = np.arange(n_slabs * slab_e, dtype=np.int64)  # slot -> new pos
-    pi1 = pi1 * 0 - 1
-    run_info = []  # (slab, bin, start_row_in_slab(chunk-aligned), n_elems)
-    run_elems = []  # per run: edge ids (in run order)
-    for s in range(n_slabs):
-        lo, hi = s * slab_e, (s + 1) * slab_e
-        in_slab = (slot_of_edge >= lo) & (slot_of_edge < hi)
-        eids = np.nonzero(in_slab)[0]
-        local = slot_of_edge[eids] - lo
-        order = np.lexsort((dsts[eids], bin_of_edge[eids]))
-        eids_o = eids[order]
-        local_o = local[order]
-        b_o = bin_of_edge[eids_o]
-        # pack runs at chunk-row granularity
-        cur = 0  # element cursor within slab (in units of elements)
-        ubins, ustarts = np.unique(b_o, return_index=True)
-        uends = np.append(ustarts[1:], len(b_o))
-        taken = np.zeros(slab_e, dtype=bool)
-        for bi, st, en in zip(ubins, ustarts, uends):
-            n_el = en - st
-            # runs start at row boundaries (K-C assembly is row-granular)
-            cur = -(-cur // LANES) * LANES
-            if cur + n_el > slab_e:
-                raise ValueError("slab overflow (padding too tight)")
-            pi1[lo + local_o[st:en]] = lo + cur + np.arange(n_el)
-            run_info.append((s, int(bi), cur // LANES, int(n_el)))
-            run_elems.append(eids_o[st:en])
-            cur += n_el
-        # park padding slots in the remaining positions
-        free = np.nonzero(pi1[lo:hi] < 0)[0]
-        used = np.zeros(slab_e, dtype=bool)
-        used[(pi1[lo:hi][pi1[lo:hi] >= 0] - lo)] = True
-        empty = np.nonzero(~used)[0]
-        pi1[lo + free] = lo + empty[: len(free)]
+    _T("stage4")
+    # build per-slab permutations + run table (one vectorized global sort:
+    # edges ordered by (slab, bin, dst); runs start at row boundaries)
+    pi1 = np.full(n_slabs * slab_e, -1, dtype=np.int64)  # slot -> new pos
+    gorder = np.lexsort((dsts, bin_of_edge, slab_of_edge))
+    sb_key = slab_of_edge[gorder] * (n_bins + 1) + bin_of_edge[gorder]
+    rank_in_run = _group_ranks(sb_key)
+    run_first = np.ones(len(sb_key), dtype=bool)
+    run_first[1:] = sb_key[1:] != sb_key[:-1]
+    run_starts_idx = np.nonzero(run_first)[0]
+    run_lens = np.diff(np.append(run_starts_idx, len(sb_key)))
+    run_slab = slab_of_edge[gorder][run_starts_idx]
+    run_bin = bin_of_edge[gorder][run_starts_idx]
+    # aligned element cursor per run, reset per slab
+    aligned = -(-run_lens // LANES) * LANES
+    run_cur = np.zeros(len(run_lens), dtype=np.int64)
+    sfirst = np.ones(len(run_lens), dtype=bool)
+    sfirst[1:] = run_slab[1:] != run_slab[:-1]
+    csum = np.concatenate([[0], np.cumsum(aligned)[:-1]])
+    slab_base = np.zeros(len(run_lens), dtype=np.int64)
+    slab_base[sfirst] = csum[sfirst]
+    slab_base = np.maximum.accumulate(slab_base)
+    run_cur = csum - slab_base
+    if len(run_cur) and (run_cur + run_lens > slab_e).any():
+        raise ValueError("slab overflow (padding too tight)")
+    run_id_of = np.cumsum(run_first) - 1
+    pos_in_slab = run_cur[run_id_of] + rank_in_run
+    pi1[slot_of_edge[gorder]] = slab_of_edge[gorder] * slab_e + pos_in_slab
+    run_info = [
+        (int(run_slab[i]), int(run_bin[i]), int(run_cur[i] // LANES), int(run_lens[i]))
+        for i in range(len(run_lens))
+    ]
+    run_elems = np.split(gorder, run_starts_idx[1:])
+    # park padding slots in the remaining positions (vectorized per slab)
+    neg = pi1 < 0
+    used = np.zeros(n_slabs * slab_e, dtype=bool)
+    used[pi1[~neg]] = True
+    free_slots = np.nonzero(neg)[0]
+    empty_pos = np.nonzero(~used)[0]
+    # both lists are slab-ordered and have equal per-slab counts
+    pi1[free_slots] = empty_pos[: len(free_slots)]
 
+    _T("stage5")
     # ---- parts ----------------------------------------------------------
     # per bin: heavy dsts -> simple parts; remaining runs -> sorted parts
     parts = []  # dicts
@@ -379,6 +392,7 @@ def build_sorted_layout(
 
     n_parts = len(parts)
 
+    _T("stage6")
     # ---- assembly chunks + per-part blocks ------------------------------
     # NOTE a sorted/simple part copies WHOLE chunk-aligned windows of its
     # runs; elements of the other class inside the window are routed to
@@ -437,6 +451,7 @@ def build_sorted_layout(
             chunk_dst.append(pid * (PR // CH) + c)
     n_steps = len(chunk_src)
 
+    _T("stage7")
     # ---- per-part routing (pi2), flags, extract -------------------------
     route_lo_list = [np.zeros((PR, LANES), np.int32)]  # dummy block 0
     route_hi_list = [np.zeros((PR, LANES), np.int32)]
@@ -491,25 +506,49 @@ def build_sorted_layout(
         guniq, gstart, gcount = np.unique(
             gkey, return_index=True, return_counts=True
         )
-        # place big groups first (first-fit-decreasing)
-        gorder = np.argsort(-gcount, kind="stable")
+        # first-fit-decreasing, vectorized by delta round: at round delta
+        # every still-unplaced group tries lane (base + delta) % 128; the
+        # groups that fit under the per-lane capacity (prefix-cumsum per
+        # lane, big groups first) are placed together.
+        n_grp = len(guniq)
+        grp_lane = np.zeros(n_grp, dtype=np.int64)
+        grp_delta = np.zeros(n_grp, dtype=np.int64)
+        grp_row0 = np.zeros(n_grp, dtype=np.int64)
         lane_load = np.zeros(LANES, dtype=np.int64)
-        grp_lane = np.zeros(len(guniq), dtype=np.int64)
-        grp_delta = np.zeros(len(guniq), dtype=np.int64)
-        grp_row0 = np.zeros(len(guniq), dtype=np.int64)
-        for gi_ in gorder:
-            base = int(guniq[gi_] // 512) % LANES
-            cnt = int(gcount[gi_])
-            for delta in range(LANES):
-                ln = (base + delta) % LANES
-                if lane_load[ln] + cnt <= PR:
-                    break
-            else:
-                raise ValueError("sorted part cannot be lane-balanced")
-            grp_lane[gi_] = ln
-            grp_delta[gi_] = delta
-            grp_row0[gi_] = lane_load[ln]
-            lane_load[ln] += cnt
+        base_all = (guniq // 512) % LANES
+        remaining = np.argsort(-gcount, kind="stable")
+        for delta in range(LANES):
+            if not len(remaining):
+                break
+            ln = (base_all[remaining] + delta) % LANES
+            o_ = np.argsort(ln, kind="stable")  # keeps size-desc within lane
+            rs, lns = remaining[o_], ln[o_]
+            csum = np.cumsum(gcount[rs]) - gcount[rs]
+            lfirst = np.ones(len(rs), dtype=bool)
+            lfirst[1:] = lns[1:] != lns[:-1]
+            lbase = np.where(lfirst, csum, 0)
+            lbase = np.maximum.accumulate(lbase)
+            off = csum - lbase + lane_load[lns]
+            fits = off + gcount[rs] <= PR
+            # only a PREFIX per lane may place (holes break the cumsum);
+            # mask everything after the first non-fit in each lane
+            bad = ~fits
+            # prefix-valid: fits AND no earlier non-fit in same lane
+            run_bad = np.maximum.accumulate(
+                np.where(bad, np.arange(1, len(rs) + 1), 0)
+            )
+            lane_start = np.maximum.accumulate(
+                np.where(lfirst, np.arange(len(rs)), 0)
+            )
+            ok = fits & (run_bad <= lane_start)
+            placed = rs[ok]
+            grp_lane[placed] = lns[ok]
+            grp_delta[placed] = delta
+            grp_row0[placed] = off[ok]
+            np.add.at(lane_load, lns[ok], gcount[placed])
+            remaining = rs[~ok]
+        if len(remaining):
+            raise ValueError("sorted part cannot be lane-balanced")
         # per-element targets
         ggid = np.searchsorted(guniq, gkey)
         within = _group_ranks(gkey)  # rank within (dst, chunk) group
@@ -577,6 +616,7 @@ def build_sorted_layout(
             blk[1] = np.maximum(win_hi, win_lo)
             ext_blocks.append(blk)
 
+    _T("stage8")
     # run benes routing (parallel, C++ releases the GIL)
     def _route(job):
         pid, perm = job
@@ -603,6 +643,7 @@ def build_sorted_layout(
     )
     ext_np = np.concatenate(ext_blocks, axis=0)
 
+    _T("stage9")
     # K-B routing per slab
     r1_lo = np.zeros((slot_rows, LANES), np.int32)
     r1_hi = np.zeros((slot_rows, LANES), np.int32)
@@ -619,6 +660,7 @@ def build_sorted_layout(
             if packed.shape[0] > 1:
                 r1_hi[s * SR : (s + 1) * SR] = packed[1].reshape(SR, LANES)
 
+    _T("stage10")
     return SortedLayout(
         prow=jnp.asarray(prow_np),
         idx=jnp.asarray(idx_np),
