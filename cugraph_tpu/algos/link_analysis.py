@@ -23,7 +23,7 @@ from ..utils.dtypes import WEIGHT_DTYPE
 from ..utils.error import expects
 
 
-@partial(jax.jit, static_argnames=("max_iterations",))
+@partial(jax.jit, static_argnames=("max_iterations", "lkind"))
 def _pagerank_jit(
     g: Graph,
     alpha,
@@ -31,6 +31,7 @@ def _pagerank_jit(
     reset,
     pr0,
     max_iterations: int,
+    lkind=None,
     pull_layout=None,
 ):
     v = g.num_vertices
@@ -45,8 +46,7 @@ def _pagerank_jit(
     def aggregate(msg):
         from ..prims.pallas import pull_aggregate
 
-        kind, lay = pull_layout if pull_layout is not None else (None, None)
-        return pull_aggregate(kind, lay, g, msg)
+        return pull_aggregate(lkind, pull_layout, g, msg)
 
     def cond(state):
         pr, diff, it = state
@@ -89,18 +89,16 @@ def pagerank(
     """
     v = g.num_vertices
     expects(v > 0, "empty graph")
-    layout = None
+    lkind, layout = None, None
     # explicit use_pallas=True bypasses the edge-count heuristic (build the
     # layout or raise); the heuristic only gates the auto path
     if use_pallas or use_pallas is not False:
         from ..prims.pallas import pull_layout_auto
 
-        kind, lay = pull_layout_auto(
+        lkind, layout = pull_layout_auto(
             g, min_edges=0 if use_pallas else 1 << 18
         )
-        if kind is not None:
-            layout = (kind, lay)
-        if use_pallas and layout is None:
+        if use_pallas and lkind is None:
             raise RuntimeError("pallas SpMV unavailable for this graph/backend")
     if personalization is not None:
         ids, vals = personalization
@@ -123,6 +121,7 @@ def pagerank(
         reset,
         pr0,
         max_iterations,
+        lkind,
         layout,
     )
     if fail_on_nonconvergence:
