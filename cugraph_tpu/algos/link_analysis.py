@@ -129,16 +129,27 @@ def pagerank(
     return pr, int(iters)
 
 
-@partial(jax.jit, static_argnames=("max_iterations", "normalized"))
-def _hits_jit(g: Graph, tol, h0, max_iterations: int, normalized: bool):
+@partial(jax.jit, static_argnames=("max_iterations", "normalized", "lkind"))
+def _hits_jit(
+    g: Graph, tol, h0, max_iterations: int, normalized: bool,
+    lkind=None, lay_in=None, lay_out=None,
+):
     v = g.num_vertices
 
     def pull_in(values):  # sum over incoming edges of src value
+        if lkind == "sorted":
+            from ..prims.pallas import pull_aggregate
+
+            return pull_aggregate(lkind, lay_in, g, values)
         return per_v_transform_reduce_incoming_e(
             g, lambda s, d, sv, dv, w: sv if w is None else sv * w, src_values=values
         )
 
     def push_out(values):  # sum over outgoing edges of dst value
+        if lkind == "sorted":
+            from ..prims.pallas import pull_aggregate
+
+            return pull_aggregate(lkind, lay_out, g, values)
         from ..prims.per_v import per_v_transform_reduce_outgoing_e
 
         return per_v_transform_reduce_outgoing_e(
@@ -184,7 +195,20 @@ def hits(
         if nstart is not None
         else jnp.full(v, 1.0 / v, dtype=WEIGHT_DTYPE)
     )
+    lkind, lay_in, lay_out = None, None, None
+    if g.num_edges >= 1 << 18:
+        from ..prims.pallas.spmv2 import _ext_meta, sorted_layout_for
+
+        li = sorted_layout_for(g, direction="in")
+        lo = sorted_layout_for(g, direction="out")
+        if li is not None and lo is not None:
+            ei, wp, rg, _ = _ext_meta(li)
+            lay_in = (li, ei, wp, rg)
+            ei2, wp2, rg2, _ = _ext_meta(lo)
+            lay_out = (lo, ei2, wp2, rg2)
+            lkind = "sorted"
     h, a, iters = _hits_jit(
-        g, jnp.asarray(tol, WEIGHT_DTYPE), h0, max_iterations, normalized
+        g, jnp.asarray(tol, WEIGHT_DTYPE), h0, max_iterations, normalized,
+        lkind, lay_in, lay_out,
     )
     return h, a, int(iters)
