@@ -315,11 +315,14 @@ def ktruss(g: Graph, k: int) -> Graph:
         strong = support >= (k - 2)
         if strong.all():
             break
-        # keep surviving edges (match back to (src,dst) pairs)
-        surviving = set(zip(osrc[strong].tolist(), odst[strong].tolist()))
-        sel = np.array(
-            [(int(s), int(d)) in surviving for s, d in zip(src, dst)], dtype=bool
-        )
+        # keep surviving edges: vectorized membership via sorted keys
+        vkey = np.int64(g.num_vertices) + 1
+        skeys = np.sort(osrc[strong].astype(np.int64) * vkey + odst[strong])
+        ekeys = src.astype(np.int64) * vkey + dst
+        pos = np.searchsorted(skeys, ekeys)
+        pos = np.minimum(pos, max(len(skeys) - 1, 0))
+        sel = len(skeys) > 0 and (skeys[pos] == ekeys)
+        sel = sel if isinstance(sel, np.ndarray) else np.zeros(len(src), bool)
         src, dst = src[sel], dst[sel]
         if wk is not None:
             wk = wk[sel]

@@ -27,13 +27,21 @@ def hungarian(g: Graph, workers: np.ndarray) -> Tuple[float, np.ndarray]:
     workers = np.asarray(workers, dtype=NP_VERTEX_DTYPE)
     src, dst, w = decompress_to_edgelist(g)
     tasks = np.setdiff1d(np.unique(dst), workers)
-    w_index = {int(x): i for i, x in enumerate(workers)}
-    t_index = {int(x): i for i, x in enumerate(tasks)}
     big = 1e9
     cost = np.full((len(workers), len(tasks)), big)
-    for s, d, ww in zip(src, dst, w):
-        if int(s) in w_index and int(d) in t_index:
-            cost[w_index[int(s)], t_index[int(d)]] = ww
+    # vectorized (worker, task) matrix fill (dense cost is inherent to the
+    # LAP formulation — bounded by len(workers)*len(tasks), same as the
+    # reference's raft::lap dense solver)
+    ws = np.sort(workers)
+    ts = np.sort(tasks)
+    wi = np.searchsorted(ws, np.clip(src, ws.min(initial=0), ws.max(initial=0)))
+    ti = np.searchsorted(ts, np.clip(dst, ts.min(initial=0), ts.max(initial=0)))
+    wi = np.minimum(wi, len(ws) - 1)
+    ti = np.minimum(ti, len(ts) - 1)
+    ok = (ws[wi] == src) & (ts[ti] == dst)
+    w_order = np.argsort(np.argsort(workers))  # map sorted pos -> original
+    t_order = np.argsort(np.argsort(tasks))
+    cost[w_order[wi[ok]], t_order[ti[ok]]] = w[ok]
     rows, cols = spo.linear_sum_assignment(cost)
     total = float(cost[rows, cols].sum())
     assignment = tasks[cols].astype(NP_VERTEX_DTYPE)

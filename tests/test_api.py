@@ -145,3 +145,25 @@ def test_from_scipy_sparse():
     g = Graph(directed=True)
     g.from_scipy_sparse(m)
     assert g.number_of_edges() == 2
+
+
+def test_hungarian_matches_scipy():
+    import numpy as np
+    import scipy.optimize as spo
+    import cugraph_tpu as cg
+
+    rng = np.random.default_rng(0)
+    nw, nt = 5, 5
+    workers = np.arange(nw, dtype=np.int32)
+    tasks = np.arange(nw, nw + nt, dtype=np.int32)
+    cost = rng.random((nw, nt)).astype(np.float32)
+    src = np.repeat(workers, nt)
+    dst = np.tile(tasks, nw)
+    w = cost.reshape(-1)
+    g = cg.from_edgelist(src, dst, w, num_vertices=nw + nt)
+    total, assign = cg.hungarian(g, workers)
+    rows, cols = spo.linear_sum_assignment(cost)
+    np.testing.assert_allclose(total, cost[rows, cols].sum(), rtol=1e-5)
+    # assignment is a permutation of tasks achieving the same cost
+    got = cost[np.arange(nw), np.searchsorted(tasks, assign)].sum()
+    np.testing.assert_allclose(got, total, rtol=1e-5)
