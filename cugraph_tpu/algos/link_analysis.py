@@ -202,10 +202,10 @@ def hits(
         li = sorted_layout_for(g, direction="in")
         lo = sorted_layout_for(g, direction="out")
         if li is not None and lo is not None:
-            ei, wp, rg, _ = _ext_meta(li)
-            lay_in = (li, ei, wp, rg)
-            ei2, wp2, rg2, _ = _ext_meta(lo)
-            lay_out = (lo, ei2, wp2, rg2)
+            ei, rg, _ = _ext_meta(li)
+            lay_in = (li, ei, rg)
+            ei2, rg2, _ = _ext_meta(lo)
+            lay_out = (lo, ei2, rg2)
             lkind = "sorted"
     h, a, iters = _hits_jit(
         g, jnp.asarray(tol, WEIGHT_DTYPE), h0, max_iterations, normalized,

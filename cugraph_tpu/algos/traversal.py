@@ -133,10 +133,8 @@ def bfs(
 
         lay = sorted_layout_for(g, use_weights=False)
         if lay is not None:
-            ei, wp, rg, _ = _ext_meta(lay)
-            return _bfs_pallas_jit(
-                g, src_mask, limit, "sorted", (lay, ei, wp, rg)
-            )
+            ei, rg, _ = _ext_meta(lay)
+            return _bfs_pallas_jit(g, src_mask, limit, "sorted", (lay, ei, rg))
     return _bfs_jit(g, src_mask, limit)
 
 

@@ -24,8 +24,8 @@ def pull_layout_auto(g, *, min_edges: int = 1 << 18):
 
         lay = sorted_layout_for(g)
         if lay is not None:
-            ext_idx, win_pack, rot_g, _ = _ext_meta(lay)
-            return "sorted", (lay, ext_idx, win_pack, rot_g)
+            ext_idx, rot_g, _ = _ext_meta(lay)
+            return "sorted", (lay, ext_idx, rot_g)
         from .spmv import pull_layout_for
 
         l1 = pull_layout_for(g)
@@ -40,11 +40,9 @@ def pull_aggregate(kind: Optional[str], layout, g, msg):
     if kind == "sorted":
         from .spmv2 import _sorted_spmv_jit
 
-        lay, ext_idx, win_pack, rot_g = layout
+        lay, ext_idx, rot_g = layout
         rounds_static = ext_idx.shape[0] // lay.n_parts  # shape-static
-        return _sorted_spmv_jit(
-            lay, msg, ext_idx, win_pack, rot_g, rounds_static
-        )
+        return _sorted_spmv_jit(lay, msg, ext_idx, rot_g, rounds_static)
     if kind == "v1":
         from .spmv import pull_spmv
 

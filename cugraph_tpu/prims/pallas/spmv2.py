@@ -614,6 +614,12 @@ def build_sorted_layout(
                 win_hi[ov] = max(win_hi[ov], svreg + 1)
             blk[0] = win_lo
             blk[1] = np.maximum(win_hi, win_lo)
+            # row 2: packed (lo << 16) | hi per out-vreg lane (the kernel
+            # reads this row as a vreg; SMEM is too small for a prefetch)
+            blk[2] = (
+                (win_lo.astype(np.int64) << 16)
+                | np.maximum(win_hi, win_lo).astype(np.int64)
+            ).astype(np.int32)
             ext_blocks.append(blk)
 
     _T("stage8")
@@ -880,9 +886,7 @@ def _assemble_call(layout, binned, interpret):
     )(layout.chunk_src, layout.chunk_dst, binned)
 
 
-def _sort_reduce_call(
-    layout, pblocks, ext_idx, win_pack, rot_g, rounds_static, interpret
-):
+def _sort_reduce_call(layout, pblocks, ext_idx, rot_g, rounds_static, interpret):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -892,7 +896,7 @@ def _sort_reduce_call(
     OV = BR // 8
 
     def kern(
-        rb_ref, ei_ref, bp_ref, ff_ref, md_ref, sp_ref, rot_ref, wp_ref,
+        rb_ref, ei_ref, bp_ref, ff_ref, md_ref, sp_ref, rot_ref,
         v_ref, lo_ref, hi_ref, *ext_and_out
     ):
         ext_refs = ext_and_out[:G]
@@ -933,8 +937,11 @@ def _sort_reduce_call(
                 rot = rot_ref[t * G + g]
                 shift = (LANES - rot) % LANES
 
+                winrow = ext[2:3, :]  # packed (lo<<16)|hi per out-vreg lane
+                lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+
                 def ov_body(o, _):
-                    wl = wp_ref[(t * G + g) * OV + o]
+                    wl = jnp.sum(jnp.where(lane1 == o, winrow, 0))
                     lo_w = wl >> 16
                     hi_w = wl & 0xFFFF
                     route = ext[pl.ds(8 + o * 8, 8), :]
@@ -969,7 +976,7 @@ def _sort_reduce_call(
                 jax.lax.fori_loop(0, OV, ov_body, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=8,
+        num_scalar_prefetch=7,
         grid=(layout.n_parts,),
         in_specs=[
             pl.BlockSpec(
@@ -1013,7 +1020,6 @@ def _sort_reduce_call(
         layout.mode,
         layout.simple_pos,
         rot_g,
-        win_pack,
         pblocks,
         layout.route2_lo,
         layout.route2_hi,
@@ -1024,10 +1030,8 @@ def _sort_reduce_call(
 def sorted_spmv(layout: SortedLayout, x: jax.Array, *, interpret: bool = False):
     """y[dst] = sum over edges (src -> dst) of w * x[src] via the sorted
     pipeline. x: (num_vertices,) f32."""
-    ext_idx, win_pack, rot_g, rounds_static = _ext_meta(layout)
-    return _sorted_spmv_jit(
-        layout, x, ext_idx, win_pack, rot_g, rounds_static, interpret
-    )
+    ext_idx, rot_g, rounds_static = _ext_meta(layout)
+    return _sorted_spmv_jit(layout, x, ext_idx, rot_g, rounds_static, interpret)
 
 
 @partial(jax.jit, static_argnames=("rounds_static", "interpret"))
@@ -1035,7 +1039,6 @@ def _sorted_spmv_jit(
     layout: SortedLayout,
     x: jax.Array,
     ext_idx,
-    win_pack,
     rot_g,
     rounds_static: int,
     interpret: bool = False,
@@ -1054,7 +1057,7 @@ def _sorted_spmv_jit(
     binned = _slab_benes_call(layout, vals, interpret)
     pblocks = _assemble_call(layout, binned, interpret)
     y = _sort_reduce_call(
-        layout, pblocks, ext_idx, win_pack, rot_g, rounds_static, interpret
+        layout, pblocks, ext_idx, rot_g, rounds_static, interpret
     )
     return y.reshape(-1)[: layout.num_vertices]
 
@@ -1078,21 +1081,14 @@ def _ext_meta(layout: SortedLayout):
     mr = layout.cfg.max_rounds
     ext_idx = np.zeros(n_parts * g_static, np.int32)
     rot_g = np.zeros(n_parts * g_static, np.int32)
-    win = np.zeros(n_parts * g_static * OV, np.int32)
     for pid in range(n_parts):
         for g in range(g_static):
             if g < n_rounds[pid]:
                 eb = ext_blk[pid] + g
                 ext_idx[pid * g_static + g] = eb
                 rot_g[pid * g_static + g] = rot_np[pid * mr + g]
-                blk = ext_np[eb * (BR + 8) : eb * (BR + 8) + 2]
-                lo = blk[0, :OV].astype(np.int64)
-                hi = blk[1, :OV].astype(np.int64)
-                win[(pid * g_static + g) * OV : (pid * g_static + g + 1) * OV] = (
-                    (lo << 16) | hi
-                ).astype(np.int32)
             # else: dummy block 0, window [0,0) -> no work
-    out = (jnp.asarray(ext_idx), jnp.asarray(win), jnp.asarray(rot_g), g_static)
+    out = (jnp.asarray(ext_idx), jnp.asarray(rot_g), g_static)
     if len(_EXT_META_CACHE) > 8:
         _EXT_META_CACHE.clear()
     _EXT_META_CACHE[key] = (layout.ext, out)
@@ -1110,12 +1106,10 @@ def sorted_spmm(layout: SortedLayout, feats: jax.Array) -> jax.Array:
     is ~F x the SpMV cost — still orders of magnitude ahead of the XLA
     row-gather/segment path (0.009 Grow/s measured). A fused MXU variant
     (one-hot placement amortized over F) is the next optimization."""
-    ext_idx, win_pack, rot_g, rounds_static = _ext_meta(layout)
+    ext_idx, rot_g, rounds_static = _ext_meta(layout)
 
     def one(col):
-        return _sorted_spmv_jit(
-            layout, col, ext_idx, win_pack, rot_g, rounds_static
-        )
+        return _sorted_spmv_jit(layout, col, ext_idx, rot_g, rounds_static)
 
     cols = jnp.swapaxes(feats, 0, 1)  # (F, V)
     out = jax.lax.map(one, cols)
