@@ -39,8 +39,20 @@ def spmm_aggregate(
         return sv
 
     if op in ("sum", "mean"):
-        # TPU: route through the sorted pipeline (multi-Gelem/s per
-        # feature column vs the near-scalar XLA row gather/segment path)
+        # Small V (GNN minibatch blocks): dense adjacency on the MXU —
+        # one matmul at ~100 T MAC/s (prims/dense_spmm.py).
+        from ..prims.dense_spmm import dense_adj_for, dense_spmm
+
+        a = dense_adj_for(g, use_weights=use_weights)
+        if a is not None:
+            agg = dense_spmm(a, features)
+            if op == "mean":
+                deg = g.in_degrees().astype(features.dtype)
+                agg = agg / jnp.maximum(deg, 1)[:, None]
+            return agg
+
+        # Large V on TPU: route through the sorted pipeline (multi-Gelem/s
+        # per feature column vs the near-scalar XLA gather/segment path)
         from ..prims.pallas.spmv2 import sorted_layout_for, sorted_spmm
 
         lay = None

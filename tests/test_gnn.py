@@ -44,6 +44,30 @@ def test_spmm_mean_matches_dense(karate):
     np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-5)
 
 
+def test_spmm_dense_and_sparse_paths_agree(karate, monkeypatch):
+    """Karate rides the dense MXU path; forcing it off must not change
+    the result (per_v fallback oracle)."""
+    import cugraph_tpu.prims.dense_spmm as dsp
+
+    g, a, feats = karate
+    dense = np.asarray(spmm_aggregate(g, feats, op="sum"))
+    monkeypatch.setattr(dsp, "DENSE_MAX_VERTICES", 0)
+    sparse = np.asarray(spmm_aggregate(g, feats, op="sum"))
+    np.testing.assert_allclose(dense, sparse, rtol=1e-4, atol=1e-5)
+
+
+def test_spmm_dense_weighted(karate):
+    g, a, feats = karate
+    got = np.asarray(spmm_aggregate(g, feats, op="sum", use_weights=True))
+    e = g.csc().num_edges
+    d = np.asarray(g.csc().majors)[:e]
+    s = np.asarray(g.csc().minors)[:e]
+    w = np.asarray(g.csc().weights)[:e]
+    expected = np.zeros_like(feats)
+    np.add.at(expected, d, w[:, None] * feats[s])
+    np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-4)
+
+
 def test_spmm_max(karate):
     g, a, feats = karate
     got = np.asarray(spmm_aggregate(g, feats, op="max"))
