@@ -24,9 +24,20 @@ BASELINE_EDGES_PER_S = 134_217_728 / 0.569  # ref BFS scale23/ef16, 2xA100
 
 
 def build_graph(scale: int, edgefactor: int):
+    import os
+
     import cugraph_tpu as cg
+    from cugraph_tpu.core import serialize as ser
 
     num_edges = (2**scale) * edgefactor
+    cdir = os.environ.get(
+        "CUGRAPH_TPU_CACHE_DIR", os.path.expanduser("~/.cache/cugraph_tpu")
+    )
+    cpath = (
+        os.path.join(cdir, f"rmat_s{scale}_ef{edgefactor}.npz") if cdir else None
+    )
+    if cpath and os.path.exists(cpath):
+        return ser.load_graph(cpath), num_edges
     src, dst = cg.rmat_edgelist(scale=scale, num_edges=num_edges, scramble=True)
     src, dst = np.asarray(src), np.asarray(dst)
     from cugraph_tpu.core import renumber as rn
@@ -34,6 +45,9 @@ def build_graph(scale: int, edgefactor: int):
     new_to_old = rn.compute_renumber_map(src, dst, 2**scale)
     src, dst = rn.apply_renumber_map(new_to_old, src, dst)
     g = cg.from_edgelist(src, dst, num_vertices=2**scale)
+    if cpath:
+        os.makedirs(cdir, exist_ok=True)
+        ser.save_graph(g, cpath)
     return g, num_edges
 
 

@@ -25,8 +25,6 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    import cugraph_tpu as cg
-    from cugraph_tpu.core import renumber as rn
     from cugraph_tpu.prims.pallas.spmv2 import (
         _ext_meta,
         _sorted_spmv_jit,
@@ -35,13 +33,12 @@ def main():
 
     print(f"backend={jax.default_backend()}", flush=True)
     scale, ef = args.scale, args.edgefactor
-    num_edges = (2**scale) * ef
     t0 = time.perf_counter()
-    src, dst = cg.rmat_edgelist(scale=scale, num_edges=num_edges, scramble=True)
-    src, dst = np.asarray(src), np.asarray(dst)
-    new_to_old = rn.compute_renumber_map(src, dst, 2**scale)
-    src, dst = rn.apply_renumber_map(new_to_old, src, dst)
-    g = cg.from_edgelist(src, dst, num_vertices=2**scale)
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from bench import build_graph
+
+    g, num_edges = build_graph(scale, ef)
     print(f"graph built: {time.perf_counter()-t0:.1f}s  V={g.num_vertices} "
           f"E={g.num_edges}", flush=True)
 

@@ -1120,6 +1120,68 @@ _SORTED_CACHE: dict = {}
 # single-chip VMEM budget for the resident x table (f32)
 _SORTED_VMEM_BUDGET = 10 * 1024 * 1024
 
+# ---------------------------------------------------------------------------
+# Disk cache: layout builds are host-bound (minutes at RMAT scale 20+ on a
+# small host); persist them keyed by a content hash of the edge list.
+# ---------------------------------------------------------------------------
+
+_STATIC_FIELDS = (
+    "n_slabs", "n_parts", "n_bins", "n_steps", "x_rows",
+    "num_vertices", "num_edges",
+)
+
+
+def _cache_dir():
+    import os
+
+    d = os.environ.get("CUGRAPH_TPU_CACHE_DIR")
+    if d == "":
+        return None  # explicitly disabled
+    if d is None:
+        d = os.path.expanduser("~/.cache/cugraph_tpu")
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def _layout_cache_key(dsts, srcs, weights, num_vertices, cfg) -> str:
+    import hashlib
+
+    h = hashlib.blake2b(digest_size=16)
+    h.update(np.int64(num_vertices).tobytes())
+    h.update(repr(dataclasses.astuple(cfg)).encode())
+    h.update(np.ascontiguousarray(dsts, dtype=np.int64).tobytes())
+    h.update(np.ascontiguousarray(srcs, dtype=np.int64).tobytes())
+    if weights is not None:
+        h.update(np.ascontiguousarray(weights, dtype=np.float32).tobytes())
+    return h.hexdigest()
+
+
+def save_sorted_layout(path: str, layout: SortedLayout) -> None:
+    arrays = {
+        f.name: np.asarray(getattr(layout, f.name))
+        for f in dataclasses.fields(layout)
+        if f.name not in _STATIC_FIELDS and f.name != "cfg"
+    }
+    meta = dict(
+        cfg=dataclasses.astuple(layout.cfg),
+        **{k: getattr(layout, k) for k in _STATIC_FIELDS},
+    )
+    import os
+
+    tmp = path + ".tmp.npz"  # ends in .npz so savez does not rename it
+    np.savez(tmp, __meta__=np.frombuffer(repr(meta).encode(), np.uint8), **arrays)
+    os.replace(tmp, path)
+
+
+def load_sorted_layout(path: str) -> SortedLayout:
+    import ast
+
+    with np.load(path) as z:
+        meta = ast.literal_eval(bytes(z["__meta__"]).decode())
+        arrays = {k: jnp.asarray(z[k]) for k in z.files if k != "__meta__"}
+    cfg = Spmv2Config(*meta.pop("cfg"))
+    return SortedLayout(cfg=cfg, **meta, **arrays)
+
 
 def sorted_layout_available(num_vertices: int) -> bool:
     if jax.default_backend() not in ("tpu", "axon"):
@@ -1132,16 +1194,34 @@ def build_sorted_layout_auto(
     dsts, srcs, weights, num_vertices, cfg: Optional[Spmv2Config] = None
 ) -> SortedLayout:
     """build_sorted_layout with an auto-retry ladder: on round/balance
-    overflow, halve the heavy-dst threshold (more simple parts)."""
+    overflow, halve the heavy-dst threshold (more simple parts). Built
+    layouts are persisted to a disk cache (host builds cost minutes at
+    RMAT scale 20+); set CUGRAPH_TPU_CACHE_DIR="" to disable."""
+    import os
+
     cfg = cfg or Spmv2Config()
+    cdir = _cache_dir()
+    cpath = None
+    if cdir is not None:
+        key = _layout_cache_key(dsts, srcs, weights, num_vertices, cfg)
+        cpath = os.path.join(cdir, f"spmv2_layout_{key}.npz")
+        if os.path.exists(cpath):
+            try:
+                return load_sorted_layout(cpath)
+            except Exception:
+                pass  # corrupt/stale cache entry: rebuild
     heavy = min(cfg.heavy_dst, cfg.part_rows)
+    floor = min(128, heavy)  # tiny test configs start below 128
     last = None
-    while heavy >= 128:
+    while heavy >= floor:
         try:
-            return build_sorted_layout(
+            lay = build_sorted_layout(
                 dsts, srcs, weights, num_vertices,
                 dataclasses.replace(cfg, heavy_dst=heavy),
             )
+            if cpath is not None:
+                save_sorted_layout(cpath, lay)
+            return lay
         except ValueError as exc:
             last = exc
             heavy //= 2

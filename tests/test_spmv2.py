@@ -80,6 +80,34 @@ def test_sorted_spmv_unweighted_and_empty_dsts():
     assert (y[v // 2 :] == 0).all()
 
 
+def test_layout_disk_cache_roundtrip(tmp_path, monkeypatch):
+    """save/load round-trips the layout and build_sorted_layout_auto
+    serves the second build from the cache file."""
+    import dataclasses as dc
+
+    from cugraph_tpu.prims.pallas import spmv2 as s2
+
+    rng = np.random.default_rng(11)
+    src, dst, w = _random_graph(rng, 300, 2000, True)
+    x = rng.random(300).astype(np.float32)
+    monkeypatch.setenv("CUGRAPH_TPU_CACHE_DIR", str(tmp_path))
+    lay1 = s2.build_sorted_layout_auto(dst, src, w, 300, TINY)
+    files = list(tmp_path.glob("spmv2_layout_*.npz"))
+    assert len(files) == 1
+    lay2 = s2.build_sorted_layout_auto(dst, src, w, 300, TINY)
+    for f in dc.fields(lay1):
+        a, b = getattr(lay1, f.name), getattr(lay2, f.name)
+        if f.name == "cfg":
+            assert a == b
+        elif f.name in s2._STATIC_FIELDS:
+            assert a == b, f.name
+        else:
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b), f.name)
+    y1 = np.asarray(sorted_spmv(lay1, jnp.asarray(x), interpret=True))
+    y2 = np.asarray(sorted_spmv(lay2, jnp.asarray(x), interpret=True))
+    np.testing.assert_allclose(y1, y2)
+
+
 def test_bfs_level_or_semantics():
     """BFS-by-pipeline semantics: sum > 0 over the unweighted layout equals
     the frontier OR, and the predecessor post-pass yields a valid BFS tree
