@@ -63,7 +63,12 @@ from .algos.linear_assignment import hungarian
 from .algos.layout import force_atlas2
 from .sampling.uniform_neighbor_sample import uniform_neighbor_sample
 from .sampling.random_walks import random_walks, node2vec
-from .generators.rmat import rmat_edgelist, scramble_vertex_ids
+from .generators.rmat import (
+    mg_rmat_edgelist,
+    rmat_chunk_source,
+    rmat_edgelist,
+    scramble_vertex_ids,
+)
 from .generators import simple as simple_generators
 
 __version__ = "0.1.0"

@@ -1,2 +1,7 @@
-from .rmat import rmat_edgelist, scramble_vertex_ids
+from .rmat import (
+    mg_rmat_edgelist,
+    rmat_chunk_source,
+    rmat_edgelist,
+    scramble_vertex_ids,
+)
 from . import simple

@@ -79,6 +79,71 @@ def rmat_edgelist(
     return src, dst
 
 
+def mg_rmat_edgelist(
+    mesh,
+    scale: int,
+    num_edges: int,
+    a: float = 0.57,
+    b: float = 0.19,
+    c: float = 0.19,
+    *,
+    rng_key: Optional[jax.Array] = None,
+    scramble: bool = False,
+):
+    """Per-device R-MAT generation over a mesh: device d draws its own
+    edge shard with the device index folded into the RNG key — no host
+    ever materializes the global COO (ref: generate_rmat_edgelist.cu is
+    likewise per-rank). Returns (src, dst) jax arrays of shape
+    (n_devices, shard) sharded one row per device.
+
+    Feed the result to `rmat_chunk_source` for scalable MG ingest
+    (dist.distribute_edgelist_chunks)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    if rng_key is None:
+        rng_key = jax.random.PRNGKey(0)
+    devs = mesh.devices.reshape(-1)
+    n = len(devs)
+    shard = -(-num_edges // n)
+    keys = jax.vmap(lambda i: jax.random.fold_in(rng_key, i))(jnp.arange(n))
+
+    @partial(jax.jit, static_argnames=("scale_", "shard_", "scramble_"),
+             out_shardings=NamedSharding(mesh, P(mesh.axis_names)))
+    def gen(keys, scale_, shard_, scramble_):
+        def one(k):
+            s, d = _rmat_jit(
+                k, scale_, shard_, jnp.float32(a), jnp.float32(b),
+                jnp.float32(c),
+            )
+            if scramble_:
+                s = scramble_vertex_ids(s, scale_)
+                d = scramble_vertex_ids(d, scale_)
+            return s, d
+
+        return jax.vmap(one)(keys)
+
+    src, dst = gen(keys, int(scale), int(shard), bool(scramble))
+    return src.reshape(mesh.devices.shape + (shard,)), dst.reshape(
+        mesh.devices.shape + (shard,)
+    )
+
+
+def rmat_chunk_source(src_sharded, dst_sharded):
+    """Zero-arg callable yielding one (src, dst) numpy chunk per device
+    shard — the ChunkSource adapter for distribute_edgelist_chunks. Only
+    one shard is host-resident at a time."""
+    import numpy as np
+
+    flat_s = src_sharded.reshape(-1, src_sharded.shape[-1])
+    flat_d = dst_sharded.reshape(-1, dst_sharded.shape[-1])
+
+    def chunks():
+        for i in range(flat_s.shape[0]):
+            yield np.asarray(flat_s[i]), np.asarray(flat_d[i])
+
+    return chunks
+
+
 def scramble_vertex_ids(ids: jax.Array, scale: int) -> jax.Array:
     """Pseudo-random bijective permutation of [0, 2^scale) vertex ids.
 

@@ -61,3 +61,35 @@ def test_erdos_renyi():
     s, d = simple.erdos_renyi_gnp_edgelist(50, 0.1, seed=1)
     assert len(s) > 0
     assert (s != d).all()
+
+
+def test_mg_rmat_per_device_generation():
+    """Per-device RMAT: shards are device-generated with folded keys,
+    deterministic, in-range, and feed the chunked MG ingest end-to-end."""
+    from cugraph_tpu.dist import make_mesh, mg_algos
+    from cugraph_tpu.dist.mg_graph import (
+        distribute_edgelist_chunks,
+        unshard_vertex_values,
+    )
+
+    mesh = make_mesh((2, 4))
+    scale, e = 8, 2048
+    s1, d1 = cg.mg_rmat_edgelist(mesh, scale, e, scramble=True)
+    s2, d2 = cg.mg_rmat_edgelist(mesh, scale, e, scramble=True)
+    assert s1.shape[:2] == mesh.devices.shape
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+    sn = np.asarray(s1).ravel()
+    dn = np.asarray(d1).ravel()
+    assert sn.min() >= 0 and sn.max() < 2**scale
+    assert dn.min() >= 0 and dn.max() < 2**scale
+    # device shards differ (keys folded per device)
+    flat = np.asarray(s1).reshape(8, -1)
+    assert not np.array_equal(flat[0], flat[1])
+
+    # chunked ingest -> MG pagerank == SG pagerank on the same edges
+    chunks = cg.rmat_chunk_source(s1, d1)
+    mgg = distribute_edgelist_chunks(mesh, chunks, num_vertices=2**scale)
+    pr_mg = unshard_vertex_values(mgg, mg_algos.mg_pagerank(mesh, mgg)[0])
+    g = cg.from_edgelist(sn, dn, num_vertices=2**scale)
+    pr_sg = np.asarray(cg.pagerank(g)[0])
+    np.testing.assert_allclose(pr_mg, pr_sg, rtol=1e-4, atol=1e-6)
