@@ -744,3 +744,82 @@ def mg_spmm_aggregate(
         return run(feats, *args)
 
     return run_jit(op, features, *_graph_args(mgg))
+
+
+# ---------------------------------------------------------------------------
+# Path extraction — on-device MG (ref: extract_bfs_paths_impl.cuh)
+# ---------------------------------------------------------------------------
+
+
+def _replicated_lookup(mgg: MGGraph, vals_l, keys, fill):
+    """values at global-vertex `keys` (replicated (n,)) from the sharded
+    per-owner array vals_l (vp,): one-hot owner contribution + psum over
+    both mesh axes. Keys outside [0, V) return `fill`."""
+    r = mgg.rows
+    i = jax.lax.axis_index("row")
+    j = jax.lax.axis_index("col")
+    base = (j * r + i) * mgg.vp
+    loc = keys - base
+    ok = (loc >= 0) & (loc < mgg.vp) & (keys < mgg.num_vertices)
+    safe = jnp.clip(loc, 0, mgg.vp - 1)
+    contrib = jnp.where(ok, jnp.take(vals_l, safe), 0)
+    tot = jax.lax.psum(contrib, ("row", "col"))
+    found = jax.lax.psum(ok.astype(jnp.int32), ("row", "col"))
+    return jnp.where(found > 0, tot, fill)
+
+
+def mg_extract_bfs_paths(
+    mesh: Mesh, mgg: MGGraph, distances, predecessors, destinations
+) -> Tuple[np.ndarray, int]:
+    """Reconstruct source->destination paths from sharded mg_bfs/mg_sssp
+    results, entirely on device: each predecessor hop is a distributed
+    one-hot lookup + psum (no host unshard of the (V,) arrays).
+
+    Returns (paths (n, max_len) numpy int32 padded with -1 at the front,
+    max_len) — same contract as the SG extract_bfs_paths."""
+    from ..algos.traversal import INVALID_DISTANCE, INVALID_VERTEX
+
+    dest = jnp.atleast_1d(jnp.asarray(destinations, dtype=jnp.int32))
+
+    @jax.jit
+    def dist_at_jit(dist_sh, dest):
+        @partial(shard_map, mesh=mesh, in_specs=(VERT, P()), out_specs=P())
+        def run(dist_l, dest_r):
+            return _replicated_lookup(
+                mgg, dist_l[0, 0], dest_r, INVALID_DISTANCE
+            )
+
+        return run(dist_sh, dest)
+
+    d = np.asarray(dist_at_jit(distances, dest))
+    finite = d != INVALID_DISTANCE
+    max_len = int(np.max(np.where(finite, d, 0))) + 1
+
+    @partial(jax.jit, static_argnames=("max_len",))
+    def paths_jit(pred_sh, dest, max_len):
+        # the scan carry is psum-replicated each step but the static
+        # varying-axes tracker can't see that through the while/scan carry
+        @partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(VERT, P()),
+            out_specs=P(),
+            check_vma=False,
+        )
+        def run(pred_l, dest_r):
+            pred_l2 = pred_l[0, 0]
+
+            def step(cur, _):
+                hop = _replicated_lookup(
+                    mgg, pred_l2, jnp.maximum(cur, 0), INVALID_VERTEX
+                )
+                nxt = jnp.where(cur >= 0, hop, INVALID_VERTEX)
+                return nxt, cur
+
+            cur0 = _pvary(dest_r)
+            _, path_rev = jax.lax.scan(step, cur0, None, length=max_len)
+            return jnp.flip(path_rev.T, axis=1)
+
+        return run(pred_sh, dest)
+
+    return np.asarray(paths_jit(predecessors, dest, max_len)), max_len

@@ -446,3 +446,41 @@ def test_mg_betweenness_endpoints(mesh, karate_sg):
         mg_centrality.mg_betweenness_centrality(mesh, karate_sg, endpoints=True)
     )
     np.testing.assert_allclose(bc_mg, bc_sg, rtol=1e-4, atol=1e-6)
+
+
+def test_mg_extract_bfs_paths_on_device():
+    """On-device MG path reconstruction: same max_len as SG, every hop a
+    real edge, correct endpoints — including an unreachable destination."""
+    import cugraph_tpu as cg
+    from cugraph_tpu.dist import make_mesh, mg_algos
+    from cugraph_tpu.dist.mg_graph import distribute_graph
+
+    rng = np.random.default_rng(0)
+    v, e = 300, 1500
+    src = rng.integers(0, v - 1, e)  # vertex v-1 isolated -> unreachable
+    dst = rng.integers(0, v - 1, e)
+    g = cg.from_edgelist(src, dst, num_vertices=v, symmetrize=True)
+    d_sg, p_sg = cg.bfs(g, 7)
+    dests = [3, 99, 250, v - 1]
+    _, ml_sg = cg.extract_bfs_paths(g, d_sg, p_sg, dests)
+    mesh = make_mesh((2, 4))
+    mgg = distribute_graph(mesh, g)
+    d_mg, p_mg = mg_algos.mg_bfs(mesh, mgg, 7)
+    paths, ml = mg_algos.mg_extract_bfs_paths(mesh, mgg, d_mg, p_mg, dests)
+    assert ml == ml_sg
+    adj = g.csr()
+    edges = set(
+        zip(
+            np.asarray(adj.majors)[: g.num_edges].tolist(),
+            np.asarray(adj.minors)[: g.num_edges].tolist(),
+        )
+    )
+    d_np = np.asarray(d_sg)
+    for row, t in zip(paths, dests):
+        row = row[row >= 0]
+        if t == v - 1:  # unreachable: bare destination, no hops
+            assert list(row) == [t]
+            continue
+        assert row[0] == 7 and row[-1] == t and len(row) == d_np[t] + 1
+        for a, b in zip(row[:-1], row[1:]):
+            assert (int(a), int(b)) in edges
