@@ -34,45 +34,39 @@ def _as_source_mask(g: Graph, sources) -> jax.Array:
     return jnp.zeros(g.num_vertices, dtype=bool).at[sources].set(True)
 
 
-@partial(jax.jit, static_argnames=("depth_limit", "lkind"))
-def _bfs_pallas_jit(g: Graph, src_mask, depth_limit: int, lkind, layout):
-    """BFS levels through the sorted SpMV pipeline: a level expansion is
-    y[dst] = sum over in-edges of frontier[src]; sum > 0 == frontier OR.
-    Predecessors are recovered in ONE post-pass over the edges (pred[v] =
-    some in-neighbor u with dist[u] == dist[v] - 1) instead of per level —
-    the classic pull-BFS trick; the reference's direction_optimizing intent
-    (bfs_impl.cuh:206, unimplemented there)."""
-    from ..prims.pallas import pull_aggregate
+@partial(jax.jit, static_argnames=("depth_limit", "rounds"))
+def _bfs_pallas_jit(g: Graph, src_mask, depth_limit: int, lay, ei, rg, rounds):
+    """BFS levels through the MIN-variant sorted pipeline: one min-plus
+    sweep per level over x[u] = (u if u in frontier else +inf) yields BOTH
+    the expansion (y < inf == frontier OR) and the predecessor (y = min
+    in-frontier neighbor id) — no separate predecessor pass. Vertex ids
+    ride f32 exactly (V <= 2^24 enforced by the caller). The TPU answer to
+    the reference's direction-optimizing pull intent (bfs_impl.cuh:206,
+    unimplemented there)."""
+    from ..prims.pallas.spmv2 import _sorted_spmv_jit
 
     v = g.num_vertices
+    INF = jnp.float32(jnp.inf)
+    ids = jnp.arange(v, dtype=jnp.int32).astype(jnp.float32)
     dist0 = jnp.where(src_mask, 0, INVALID_DISTANCE).astype(jnp.int32)
+    pred0 = jnp.full(v, INVALID_VERTEX, dtype=jnp.int32)
 
     def cond(state):
-        visited, dist, frontier, depth = state
+        visited, dist, pred, frontier, depth = state
         return jnp.any(frontier) & (depth < depth_limit)
 
     def body(state):
-        visited, dist, frontier, depth = state
-        y = pull_aggregate(lkind, layout, g, frontier.astype(jnp.float32))
-        new = (y > 0) & ~visited
+        visited, dist, pred, frontier, depth = state
+        x = jnp.where(frontier, ids, INF)
+        y = _sorted_spmv_jit(lay, x, ei, rg, rounds, reduce="min")
+        new = jnp.isfinite(y) & ~visited
         dist = jnp.where(new, depth + 1, dist)
-        return visited | new, dist, new, depth + 1
+        pred = jnp.where(new, y.astype(jnp.int32), pred)
+        return visited | new, dist, pred, new, depth + 1
 
-    visited, dist, _, _ = jax.lax.while_loop(
-        cond, body, (src_mask, dist0, src_mask, jnp.int32(0))
+    visited, dist, pred, _, _ = jax.lax.while_loop(
+        cond, body, (src_mask, dist0, pred0, src_mask, jnp.int32(0))
     )
-    # predecessor post-pass: one edge sweep
-    adj = g.csc()
-    srcs, dsts = adj.minors, adj.majors
-    ds = jnp.take(dist, srcs)
-    dd = jnp.take(dist, dsts)
-    on_tree = adj.valid() & (dd != INVALID_DISTANCE) & (ds + 1 == dd)
-    seg = jnp.where(on_tree, dsts, v)
-    pred = jax.ops.segment_min(
-        jnp.where(on_tree, srcs, v), seg, num_segments=v + 1,
-        indices_are_sorted=True,
-    )[:v]
-    pred = jnp.where((pred < v) & ~src_mask, pred, INVALID_VERTEX)
     return dist, pred
 
 
@@ -124,18 +118,32 @@ def bfs(
     del direction_optimizing
     src_mask = _as_source_mask(g, sources)
     limit = int(depth_limit) if depth_limit is not None else g.num_vertices
-    from ..prims.pallas import pull_layout_auto
-
-    lkind, layout = pull_layout_auto(g)
-    if lkind == "sorted":
-        # NOTE the layout must be the unweighted one (frontier OR)
-        from ..prims.pallas.spmv2 import _ext_meta, sorted_layout_for
-
-        lay = sorted_layout_for(g, use_weights=False)
-        if lay is not None:
-            ei, rg, _ = _ext_meta(lay)
-            return _bfs_pallas_jit(g, src_mask, limit, "sorted", (lay, ei, rg))
+    lp = _min_layout_pack(g)
+    if lp is not None:
+        lay, ei, rg, rounds = lp
+        return _bfs_pallas_jit(g, src_mask, limit, lay, ei, rg, rounds)
     return _bfs_jit(g, src_mask, limit)
+
+
+def _min_layout_pack(g: Graph, use_weights: bool = False):
+    """(layout, ext_idx, rot_g, rounds) for the min-plus pipeline, or None
+    (non-TPU backend, graph too small/large, traced graph, or V > 2^24 —
+    vertex ids must be f32-exact)."""
+
+    if g.num_edges < 1 << 18 or g.num_vertices > 1 << 24:
+        return None
+    if isinstance(g.csc().majors, jax.core.Tracer):
+        return None
+    from ..prims.pallas.spmv2 import (
+        _ext_meta,
+        sorted_layout_for,
+    )
+
+    lay = sorted_layout_for(g, use_weights=use_weights, variant="min")
+    if lay is None:
+        return None
+    ei, rg, rounds = _ext_meta(lay)
+    return lay, ei, rg, rounds
 
 
 @partial(jax.jit, static_argnames=())
@@ -183,6 +191,53 @@ def _sssp_jit(g: Graph, src_mask: jax.Array, cutoff):
     return dist, pred
 
 
+@partial(jax.jit, static_argnames=("rounds",))
+def _sssp_pallas_jit(g: Graph, src_mask, cutoff, lay, ei, rg, rounds):
+    """SSSP distances via min-plus pipeline sweeps (Bellman-Ford over full
+    relaxations; converges in hop-diameter rounds), then one edge post-pass
+    for predecessors. The pipeline and the post-pass round identically in
+    f32, so the tree predicate dist[u] + w == dist[v] is exact."""
+    from ..prims.pallas.spmv2 import _sorted_spmv_jit
+
+    v = g.num_vertices
+    inf = jnp.float32(jnp.inf)
+    dist0 = jnp.where(src_mask, 0.0, inf).astype(jnp.float32)
+
+    def cond(state):
+        dist, changed, it = state
+        return changed & (it < v)
+
+    def body(state):
+        dist, _, it = state
+        relax = _sorted_spmv_jit(lay, dist, ei, rg, rounds, reduce="min")
+        relax = jnp.where(relax <= cutoff, relax, inf)
+        nd = jnp.minimum(dist, relax)
+        return nd, jnp.any(nd < dist), it + 1
+
+    dist, _, _ = jax.lax.while_loop(
+        cond, body, (dist0, jnp.bool_(True), jnp.int32(0))
+    )
+    # predecessor post-pass: one edge sweep over the csc adjacency
+    adj = g.csc()
+    srcs, dsts = adj.minors, adj.majors
+    w = adj.weights if adj.weights is not None else jnp.ones_like(srcs, jnp.float32)
+    ds = jnp.take(dist, srcs)
+    dd = jnp.take(dist, dsts)
+    on_tree = (
+        adj.valid()
+        & jnp.isfinite(dd)
+        & (ds + w == dd)
+        & ~jnp.take(src_mask, dsts)
+    )
+    seg = jnp.where(on_tree, dsts, v)
+    pred = jax.ops.segment_min(
+        jnp.where(on_tree, srcs, v), seg, num_segments=v + 1,
+        indices_are_sorted=True,
+    )[:v]
+    pred = jnp.where(pred < v, pred, INVALID_VERTEX)
+    return dist.astype(WEIGHT_DTYPE), pred
+
+
 def sssp(
     g: Graph, source, cutoff: Optional[float] = None
 ) -> Tuple[jax.Array, jax.Array]:
@@ -192,6 +247,13 @@ def sssp(
     ref: sssp_impl.cuh (cutoff supported)."""
     src_mask = _as_source_mask(g, source)
     c = jnp.asarray(cutoff if cutoff is not None else jnp.inf, WEIGHT_DTYPE)
+    if g.weighted:
+        lp = _min_layout_pack(g, use_weights=True)
+        if lp is not None:
+            lay, ei, rg, rounds = lp
+            return _sssp_pallas_jit(
+                g, src_mask, c.astype(jnp.float32), lay, ei, rg, rounds
+            )
     return _sssp_jit(g, src_mask, c)
 
 

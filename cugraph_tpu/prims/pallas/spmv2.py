@@ -55,10 +55,10 @@ class Spmv2Config:
     slab_rows: int = 2048  # 2^18 elements per slab (VMEM: 3 blocks + d.b.)
     part_rows: int = 2048  # 2^18 elements per part block
     bin_rows: int = 1024  # dsts per bin = bin_rows * 128
-    chunk_rows: int = 64  # assembly copy granularity
+    chunk_rows: int = 16  # assembly copy granularity (16x128 f32 = 8 KB DMA)
     hub_deg: int = 1024  # src out-count threshold for broadcast rows
     heavy_dst: int = 8192  # dst in-count threshold for simple parts
-    max_rounds: int = 6  # extract rotation rounds per sorted part
+    max_rounds: int = 8  # extract rotation rounds per sorted part
 
 
 TINY = Spmv2Config(
@@ -126,7 +126,11 @@ def build_sorted_layout(
     weights: Optional[np.ndarray],
     num_vertices: int,
     cfg: Spmv2Config = Spmv2Config(),
+    pad_weight: float = 0.0,
 ) -> SortedLayout:
+    """pad_weight: weight stored in padding slots. 0 for the sum pipeline
+    (identity through vals*w); +inf for the min-plus pipeline (identity
+    through vals+w under min)."""
     e = len(dsts)
     dsts = np.asarray(dsts, dtype=np.int64)
     srcs = np.asarray(srcs, dtype=np.int64)
@@ -252,7 +256,7 @@ def build_sorted_layout(
     slot_rows = n_slabs * SR
     n_vregs = slot_rows // 8
     idx_np = np.zeros((slot_rows, LANES), dtype=np.int32)
-    w_np = np.zeros((slot_rows, LANES), dtype=np.float32)
+    w_np = np.full((slot_rows, LANES), pad_weight, dtype=np.float32)
     prow_np = np.zeros(n_vregs, dtype=np.int32)
     prow_np[new_vreg] = dense_prow
     final_row = new_vreg[row_of_edge // 8] * 8 + (row_of_edge % 8)
@@ -324,9 +328,13 @@ def build_sorted_layout(
     for ridx, (s, bi, r0, n_el) in enumerate(run_info):
         runs_by_bin.setdefault(bi, []).append(ridx)
 
-    # any dst bigger than one lane chunk goes to the simple-sum path:
-    # multi-chunk dsts in sorted parts cascade first-fit deltas
-    heavy_eff = min(cfg.heavy_dst, part_e // LANES)
+    # Destinations beyond the simple-part threshold get masked-sum parts.
+    # Mid-heavy dsts (up to 4 full lane columns) stay on the sorted path —
+    # the first-fit splits them into chunk_id groups of <= PR elements,
+    # each spilling to its own extract round. Only true hubs go simple:
+    # routing every (hub, slab) piece through chunk-granular assembly was
+    # measured to blow up copied volume ~38x at RMAT scale 20.
+    heavy_eff = min(cfg.heavy_dst, 4 * (part_e // LANES))
     heavy_v = np.nonzero(in_cnt >= heavy_eff)[0]
 
     def piece_rows(sel, r0):
@@ -771,11 +779,12 @@ def _apply_benes_block(x, lo, hi, rows, lanes=LANES):
     return x
 
 
-def _seg_scan_rows(x, flags, rows):
+def _seg_scan_rows(x, flags, rows, reduce="sum"):
     """Segmented inclusive scan along axis 0 per lane; flags=1 starts a
-    segment."""
+    segment. reduce: "sum" or "min"."""
     from jax.experimental.pallas import tpu as pltpu
 
+    ident = 0.0 if reduce == "sum" else jnp.float32(jnp.inf)
     row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
     f = flags.astype(jnp.float32)
     d = 1
@@ -783,13 +792,14 @@ def _seg_scan_rows(x, flags, rows):
         xs = pltpu.roll(x, d, axis=0)
         fs = pltpu.roll(f, d, axis=0)
         ok = (row >= d) & (f == 0.0)
-        x = x + jnp.where(ok, xs, 0.0)
+        contrib = jnp.where(ok, xs, ident)
+        x = x + contrib if reduce == "sum" else jnp.minimum(x, contrib)
         f = jnp.maximum(f, jnp.where(row >= d, fs, 1.0))
         d *= 2
     return x
 
 
-def _expand_call(layout, table, interpret):
+def _expand_call(layout, table, interpret, reduce="sum"):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -809,7 +819,11 @@ def _expand_call(layout, table, interpret):
             vals = jnp.zeros((8, LANES), jnp.float32)
             for r in range(8):
                 vals = vals + jnp.where(idxv == r, page[r][None, :], 0.0)
-            o_ref[pl.ds(v * 8, 8), :] = vals * w_ref[pl.ds(v * 8, 8), :]
+            wv = w_ref[pl.ds(v * 8, 8), :]
+            # sum: y = x*w with pad w=0; min: y = x+w with pad w=+inf
+            o_ref[pl.ds(v * 8, 8), :] = (
+                vals * wv if reduce == "sum" else vals + wv
+            )
             return 0
 
         jax.lax.fori_loop(0, TV, body, 0)
@@ -886,7 +900,9 @@ def _assemble_call(layout, binned, interpret):
     )(layout.chunk_src, layout.chunk_dst, binned)
 
 
-def _sort_reduce_call(layout, pblocks, ext_idx, rot_g, rounds_static, interpret):
+def _sort_reduce_call(
+    layout, pblocks, ext_idx, rot_g, rounds_static, interpret, reduce="sum"
+):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -894,6 +910,11 @@ def _sort_reduce_call(layout, pblocks, ext_idx, rot_g, rounds_static, interpret)
     BR = layout.cfg.bin_rows
     G = rounds_static
     OV = BR // 8
+    is_sum = reduce == "sum"
+    IDENT = 0.0 if is_sum else float(np.inf)
+
+    def merge(a, b):
+        return a + b if is_sum else jnp.minimum(a, b)
 
     def kern(
         rb_ref, ei_ref, bp_ref, ff_ref, md_ref, sp_ref, rot_ref,
@@ -906,32 +927,33 @@ def _sort_reduce_call(layout, pblocks, ext_idx, rot_g, rounds_static, interpret)
 
         @pl.when(ff_ref[t] == 1)
         def _():
-            o_ref[:] = jnp.zeros_like(o_ref)
+            o_ref[:] = jnp.full_like(o_ref, IDENT)
 
         lane_iota = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 1)
 
         @pl.when(md_ref[t] == 1)
         def _():
-            # simple part: masked sum -> one dst slot (where, not multiply:
-            # unwritten assembly rows may hold non-finite garbage)
+            # simple part: masked reduce -> one dst slot (where, not
+            # multiply: unwritten assembly rows may hold non-finite garbage)
             mask = pltpu.bitcast(lo_ref[:], jnp.float32)
-            total = jnp.sum(jnp.where(mask > 0, v_ref[:], 0.0))
+            masked = jnp.where(mask > 0, v_ref[:], IDENT)
+            total = jnp.sum(masked) if is_sum else jnp.min(masked)
             spos = sp_ref[t]
             r = spos // LANES
             sub = r % 8
             row_iota8 = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 0)
-            add = jnp.where(
-                (lane_iota == spos % LANES) & (row_iota8 == sub), total, 0.0
+            upd = jnp.where(
+                (lane_iota == spos % LANES) & (row_iota8 == sub), total, IDENT
             )
             base = pl.multiple_of((r // 8) * 8, 8)
             cur = o_ref[pl.ds(base, 8), :]
-            o_ref[pl.ds(base, 8), :] = cur + add
+            o_ref[pl.ds(base, 8), :] = merge(cur, upd)
 
         @pl.when(md_ref[t] == 0)
         def _():
             x = _apply_benes_block(v_ref[:], lo_ref[:], hi_ref[:], PR)
             flags = ((hi_ref[:] >> 5) & 1).astype(jnp.float32)
-            scratch[:] = _seg_scan_rows(x, flags, PR)
+            scratch[:] = _seg_scan_rows(x, flags, PR, reduce)
             for g in range(G):
                 ext = ext_refs[g]
                 rot = rot_ref[t * G + g]
@@ -956,12 +978,13 @@ def _sort_reduce_call(layout, pblocks, ext_idx, rot_g, rounds_static, interpret)
                             gvals = gvals + jnp.where(
                                 sub == r, page[r][None, :], 0.0
                             )
-                        return acc + jnp.where(
-                            valid & (svreg == u), gvals, 0.0
+                        return merge(
+                            acc, jnp.where(valid & (svreg == u), gvals, IDENT)
                         )
 
                     acc = jax.lax.fori_loop(
-                        lo_w, hi_w, u_body, jnp.zeros((8, LANES), jnp.float32)
+                        lo_w, hi_w, u_body,
+                        jnp.full((8, LANES), IDENT, jnp.float32),
                     )
                     for k in range(7):
                         acc = jnp.where(
@@ -970,7 +993,7 @@ def _sort_reduce_call(layout, pblocks, ext_idx, rot_g, rounds_static, interpret)
                             acc,
                         )
                     cur = o_ref[pl.ds(o * 8, 8), :]
-                    o_ref[pl.ds(o * 8, 8), :] = cur + acc
+                    o_ref[pl.ds(o * 8, 8), :] = merge(cur, acc)
                     return 0
 
                 jax.lax.fori_loop(0, OV, ov_body, 0)
@@ -1027,14 +1050,25 @@ def _sort_reduce_call(layout, pblocks, ext_idx, rot_g, rounds_static, interpret)
     )
 
 
-def sorted_spmv(layout: SortedLayout, x: jax.Array, *, interpret: bool = False):
-    """y[dst] = sum over edges (src -> dst) of w * x[src] via the sorted
-    pipeline. x: (num_vertices,) f32."""
+def sorted_spmv(
+    layout: SortedLayout,
+    x: jax.Array,
+    *,
+    interpret: bool = False,
+    reduce: str = "sum",
+):
+    """reduce="sum": y[dst] = sum over edges (src -> dst) of w * x[src].
+    reduce="min":  y[dst] = min over edges of (x[src] + w), +inf where the
+    dst has no in-edges — the min-plus (tropical) sweep of SSSP relaxation;
+    requires a layout built with pad_weight=+inf (variant="min").
+    x: (num_vertices,) f32."""
     ext_idx, rot_g, rounds_static = _ext_meta(layout)
-    return _sorted_spmv_jit(layout, x, ext_idx, rot_g, rounds_static, interpret)
+    return _sorted_spmv_jit(
+        layout, x, ext_idx, rot_g, rounds_static, interpret, reduce
+    )
 
 
-@partial(jax.jit, static_argnames=("rounds_static", "interpret"))
+@partial(jax.jit, static_argnames=("rounds_static", "interpret", "reduce"))
 def _sorted_spmv_jit(
     layout: SortedLayout,
     x: jax.Array,
@@ -1042,6 +1076,7 @@ def _sorted_spmv_jit(
     rot_g,
     rounds_static: int,
     interpret: bool = False,
+    reduce: str = "sum",
 ):
     xr = layout.x_rows
     n_hub = layout.hub_ids.shape[0]
@@ -1053,11 +1088,11 @@ def _sorted_spmv_jit(
     table = table.at[xr : xr + n_hub].set(
         jnp.broadcast_to(hub_vals[:, None], (n_hub, LANES))
     )
-    vals = _expand_call(layout, table, interpret)
+    vals = _expand_call(layout, table, interpret, reduce)
     binned = _slab_benes_call(layout, vals, interpret)
     pblocks = _assemble_call(layout, binned, interpret)
     y = _sort_reduce_call(
-        layout, pblocks, ext_idx, rot_g, rounds_static, interpret
+        layout, pblocks, ext_idx, rot_g, rounds_static, interpret, reduce
     )
     return y.reshape(-1)[: layout.num_vertices]
 
@@ -1143,11 +1178,12 @@ def _cache_dir():
     return d
 
 
-def _layout_cache_key(dsts, srcs, weights, num_vertices, cfg) -> str:
+def _layout_cache_key(dsts, srcs, weights, num_vertices, cfg, pad_weight=0.0) -> str:
     import hashlib
 
     h = hashlib.blake2b(digest_size=16)
     h.update(np.int64(num_vertices).tobytes())
+    h.update(np.float32(pad_weight).tobytes())
     h.update(repr(dataclasses.astuple(cfg)).encode())
     h.update(np.ascontiguousarray(dsts, dtype=np.int64).tobytes())
     h.update(np.ascontiguousarray(srcs, dtype=np.int64).tobytes())
@@ -1191,7 +1227,8 @@ def sorted_layout_available(num_vertices: int) -> bool:
 
 
 def build_sorted_layout_auto(
-    dsts, srcs, weights, num_vertices, cfg: Optional[Spmv2Config] = None
+    dsts, srcs, weights, num_vertices, cfg: Optional[Spmv2Config] = None,
+    pad_weight: float = 0.0,
 ) -> SortedLayout:
     """build_sorted_layout with an auto-retry ladder: on round/balance
     overflow, halve the heavy-dst threshold (more simple parts). Built
@@ -1203,7 +1240,7 @@ def build_sorted_layout_auto(
     cdir = _cache_dir()
     cpath = None
     if cdir is not None:
-        key = _layout_cache_key(dsts, srcs, weights, num_vertices, cfg)
+        key = _layout_cache_key(dsts, srcs, weights, num_vertices, cfg, pad_weight)
         cpath = os.path.join(cdir, f"spmv2_layout_{key}.npz")
         if os.path.exists(cpath):
             try:
@@ -1218,6 +1255,7 @@ def build_sorted_layout_auto(
             lay = build_sorted_layout(
                 dsts, srcs, weights, num_vertices,
                 dataclasses.replace(cfg, heavy_dst=heavy),
+                pad_weight=pad_weight,
             )
             if cpath is not None:
                 save_sorted_layout(cpath, lay)
@@ -1233,17 +1271,22 @@ def sorted_layout_for(
     cfg: Optional[Spmv2Config] = None,
     direction: str = "in",
     use_weights: bool = True,
+    variant: str = "sum",
 ):
     """Build (and cache) the sorted-pipeline layout for a Graph.
 
     direction "in": y[dst] += w*x[src] (pull over the in-adjacency);
     direction "out": y[src] += w*x[dst] (push-transpose, for HITS).
     use_weights=False ignores edge weights (GNN mean/sum semantics).
+    variant "sum": pad_weight 0, edge value x*w.
+    variant "min": pad_weight +inf, edge value x+w (min-plus sweep for
+    SSSP / BFS-predecessor; use_weights=False stores w=0 so the sweep
+    returns min(x[src]) per dst).
     None when unavailable (non-TPU backend / too large)."""
     if not sorted_layout_available(graph.num_vertices):
         return None
     adj = graph.csc() if direction == "in" else graph.csr()
-    key = (id(adj.majors), direction, use_weights)
+    key = (id(adj.majors), direction, use_weights, variant)
     hit = _SORTED_CACHE.get(key)
     if hit is not None and hit[0] is adj.majors:
         return hit[1]
@@ -1255,7 +1298,14 @@ def sorted_layout_for(
         if (adj.weights is None or not use_weights)
         else np.asarray(adj.weights)[:e]
     )
-    layout = build_sorted_layout_auto(d, s, wts, graph.num_vertices, cfg)
+    pad = 0.0
+    if variant == "min":
+        pad = float(np.inf)
+        if wts is None:
+            wts = np.zeros(e, np.float32)  # x + 0 under min
+    layout = build_sorted_layout_auto(
+        d, s, wts, graph.num_vertices, cfg, pad_weight=pad
+    )
     if len(_SORTED_CACHE) > 4:
         _SORTED_CACHE.clear()
     _SORTED_CACHE[key] = (adj.majors, layout)

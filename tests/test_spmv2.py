@@ -145,3 +145,152 @@ def test_bfs_level_or_semantics():
         frontier = new.astype(np.float32)
         depth += 1
     np.testing.assert_array_equal(dist, d_ref.astype(np.int64))
+
+
+@pytest.mark.parametrize("use_w", [True, False])
+def test_sorted_spmv_min_plus(use_w):
+    """min-plus sweep: y[dst] = min over in-edges of (x[src] + w); +inf
+    for in-degree-0 dsts. The SSSP relaxation / BFS-predecessor kernel."""
+    rng = np.random.default_rng(42)
+    v, e = 900, 5000
+    src, dst, w = _random_graph(rng, v, e, True)
+    dst[dst >= v - 10] = 0  # leave some dsts with no in-edges
+    x = rng.random(v).astype(np.float32) * 10
+    wts = w if use_w else np.zeros(e, np.float32)
+    oracle = np.full(v, np.inf)
+    np.minimum.at(oracle, dst, x[src].astype(np.float64) + wts)
+    layout = build_sorted_layout(
+        dst, src, wts, v, TINY, pad_weight=float(np.inf)
+    )
+    y = np.asarray(
+        sorted_spmv(layout, jnp.asarray(x), interpret=True, reduce="min")
+    )
+    fin = np.isfinite(oracle)
+    assert (np.isfinite(y) == fin).all()
+    np.testing.assert_allclose(y[fin], oracle[fin], rtol=1e-5, atol=1e-5)
+
+
+def test_sorted_spmv_min_heavy_dst():
+    """min path through the simple-part (heavy destination) code."""
+    rng = np.random.default_rng(1)
+    v, e = 400, 4000
+    src = rng.integers(0, v, e)
+    dst = rng.integers(0, v, e)
+    dst[: e // 2] = 3  # one very heavy destination -> simple parts
+    w = rng.random(e).astype(np.float32)
+    x = rng.random(v).astype(np.float32)
+    oracle = np.full(v, np.inf)
+    np.minimum.at(oracle, dst, x[src].astype(np.float64) + w)
+    layout = build_sorted_layout(dst, src, w, v, TINY, pad_weight=float(np.inf))
+    y = np.asarray(
+        sorted_spmv(layout, jnp.asarray(x), interpret=True, reduce="min")
+    )
+    fin = np.isfinite(oracle)
+    np.testing.assert_allclose(y[fin], oracle[fin], rtol=1e-5, atol=1e-5)
+    assert not np.isfinite(y[~fin]).any()
+
+
+def test_bfs_min_level_semantics():
+    """What _bfs_pallas_jit runs per level: one min-plus sweep over
+    x = (id if in frontier else inf) gives expansion AND a valid
+    predecessor simultaneously."""
+    import cugraph_tpu as cg
+
+    rng = np.random.default_rng(5)
+    v, e = 700, 3500
+    src = rng.integers(0, v, e)
+    dst = rng.integers(0, v, e)
+    g = cg.from_edgelist(src, dst, num_vertices=v, symmetrize=True)
+    d_ref, _ = cg.bfs(g, 2)
+    d_ref = np.asarray(d_ref)
+    adj = g.csc()
+    ee = adj.num_edges
+    layout = build_sorted_layout(
+        np.asarray(adj.majors)[:ee].astype(np.int64),
+        np.asarray(adj.minors)[:ee].astype(np.int64),
+        np.zeros(ee, np.float32),
+        v,
+        TINY,
+        pad_weight=float(np.inf),
+    )
+    INVALID = np.iinfo(np.int32).max
+    ids = np.arange(v, dtype=np.float32)
+    dist = np.full(v, INVALID, np.int64)
+    pred = np.full(v, -1, np.int64)
+    dist[2] = 0
+    visited = np.zeros(v, bool)
+    visited[2] = True
+    frontier = visited.copy()
+    depth = 0
+    while frontier.any():
+        x = np.where(frontier, ids, np.inf).astype(np.float32)
+        y = np.asarray(
+            sorted_spmv(layout, jnp.asarray(x), interpret=True, reduce="min")
+        )
+        new = np.isfinite(y) & ~visited
+        dist[new] = depth + 1
+        pred[new] = y[new].astype(np.int64)
+        visited |= new
+        frontier = new
+        depth += 1
+    np.testing.assert_array_equal(dist, d_ref.astype(np.int64))
+    # every predecessor is an in-neighbor one level up
+    edges = set(zip(src.tolist() + dst.tolist(), dst.tolist() + src.tolist()))
+    for vv in range(v):
+        if pred[vv] >= 0:
+            assert dist[pred[vv]] == dist[vv] - 1
+            assert (int(pred[vv]), vv) in edges
+
+
+def test_sssp_min_plus_sweeps_match_scipy():
+    """Full Bellman-Ford min-plus sweeps (what _sssp_pallas_jit iterates)
+    converge to scipy shortest paths."""
+    import scipy.sparse as sp
+    import scipy.sparse.csgraph as csg
+
+    rng = np.random.default_rng(9)
+    v, e = 500, 3000
+    src = rng.integers(0, v, e)
+    dst = rng.integers(0, v, e)
+    w = (rng.random(e) * 3 + 0.1).astype(np.float32)
+    # dedupe parallel edges: scipy's coo->csr sums their weights, min-plus
+    # takes their min — keep one edge per (src, dst)
+    _, keep = np.unique(src.astype(np.int64) * v + dst, return_index=True)
+    src, dst, w = src[keep], dst[keep], w[keep]
+    layout = build_sorted_layout(
+        dst.astype(np.int64), src.astype(np.int64), w, v, TINY,
+        pad_weight=float(np.inf),
+    )
+    dist = np.full(v, np.inf, np.float32)
+    dist[0] = 0.0
+    for _ in range(v):
+        relax = np.asarray(
+            sorted_spmv(layout, jnp.asarray(dist), interpret=True, reduce="min")
+        )
+        nd = np.minimum(dist, relax)
+        if (nd == dist).all():
+            break
+        dist = nd
+    a = sp.coo_matrix((w, (src, dst)), shape=(v, v)).tocsr()
+    ref = csg.dijkstra(a, directed=True, indices=0)
+    np.testing.assert_allclose(dist, ref.astype(np.float32), rtol=1e-5, atol=1e-5)
+
+
+def test_sorted_spmv_mid_heavy_multichunk():
+    """dsts with in-degree between PR and 4*PR per lane column ride the
+    sorted path as multiple chunk_id groups (own extract rounds)."""
+    rng = np.random.default_rng(21)
+    v, e = 256, 6000
+    src = rng.integers(0, v, e)
+    dst = rng.integers(0, v, e)
+    # a band of mid-heavy dsts: ~20-60 in-edges each (TINY PR column = 16)
+    for k, d in enumerate(range(10, 40)):
+        n = 20 + k
+        dst[rng.choice(e, n, replace=False)] = d
+    w = rng.random(e).astype(np.float32)
+    x = rng.random(v).astype(np.float32)
+    oracle = np.zeros(v, np.float64)
+    np.add.at(oracle, dst, w.astype(np.float64) * x[src])
+    layout = build_sorted_layout(dst, src, w, v, TINY)
+    y = np.asarray(sorted_spmv(layout, jnp.asarray(x), interpret=True))
+    np.testing.assert_allclose(y, oracle, rtol=1e-4, atol=1e-4)
