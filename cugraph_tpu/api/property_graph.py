@@ -1,9 +1,14 @@
 """PropertyGraph: typed vertex/edge property tables over pandas, feeding
 algorithm graphs and GNN feature stores.
 
-ref: python/cugraph/cugraph/structure/property_graph.py (1,383 LoC:
-add_vertex_data, add_edge_data, get_vertex_data, get_edge_data,
-extract_subgraph, select_vertices/edges).
+ref: python/cugraph/cugraph/structure/property_graph.py (PropertySelection
+:28-52; add_vertex_data :328, add_edge_data :525 with edge_id_col_name;
+get_num_vertices(type, include_edge_data) :238; extract_subgraph :871 with
+selection/default_edge_weight/check_multi_edges/add_edge_data;
+renumber_vertices_by_type :1168, renumber_edges_by_type :1233;
+is_multigraph :1278, has_duplicate_edges :1285). Independent redesign on
+pandas: one long-format table per element kind with _TYPE_ discriminator
+columns, selections as boolean Series.
 """
 
 from __future__ import annotations
@@ -21,6 +26,26 @@ VERTEX_COL = "_VERTEX_"
 SRC_COL = "_SRC_"
 DST_COL = "_DST_"
 EDGE_ID_COL = "_EDGE_ID_"
+_INTERNAL_V = (TYPE_COL, VERTEX_COL)
+_INTERNAL_E = (TYPE_COL, SRC_COL, DST_COL, EDGE_ID_COL)
+
+
+class PropertySelection:
+    """Vertex and/or edge boolean selections over a PropertyGraph, returned
+    by select_vertices()/select_edges(); combine with `+`."""
+
+    def __init__(self, vertex_selection=None, edge_selection=None):
+        self.vertex_selections = vertex_selection
+        self.edge_selections = edge_selection
+
+    def __add__(self, other: "PropertySelection") -> "PropertySelection":
+        vs = self.vertex_selections
+        if vs is None:
+            vs = other.vertex_selections
+        es = self.edge_selections
+        if es is None:
+            es = other.edge_selections
+        return PropertySelection(vs, es)
 
 
 class PropertyGraph:
@@ -54,17 +79,25 @@ class PropertyGraph:
         self,
         df: pd.DataFrame,
         vertex_col_names,
+        edge_id_col_name: Optional[str] = None,
         type_name: str = "",
         property_columns: Optional[List[str]] = None,
     ) -> None:
         s, d = vertex_col_names
-        cols = property_columns or [c for c in df.columns if c not in (s, d)]
+        skip = {s, d, edge_id_col_name}
+        cols = property_columns or [c for c in df.columns if c not in skip]
         chunk = df[[s, d] + cols].rename(columns={s: SRC_COL, d: DST_COL})
         chunk[TYPE_COL] = type_name
-        chunk[EDGE_ID_COL] = np.arange(
-            self._next_edge_id, self._next_edge_id + len(chunk)
-        )
-        self._next_edge_id += len(chunk)
+        if edge_id_col_name is not None:
+            chunk[EDGE_ID_COL] = df[edge_id_col_name].to_numpy()
+            self._next_edge_id = max(
+                self._next_edge_id, int(chunk[EDGE_ID_COL].max()) + 1
+            )
+        else:
+            chunk[EDGE_ID_COL] = np.arange(
+                self._next_edge_id, self._next_edge_id + len(chunk)
+            )
+            self._next_edge_id += len(chunk)
         self._edge_df = (
             chunk
             if self._edge_df is None
@@ -72,6 +105,18 @@ class PropertyGraph:
         )
 
     # ---- introspection ---------------------------------------------------
+    @property
+    def vertex_property_names(self) -> List[str]:
+        if self._vertex_df is None:
+            return []
+        return [c for c in self._vertex_df.columns if c not in _INTERNAL_V]
+
+    @property
+    def edge_property_names(self) -> List[str]:
+        if self._edge_df is None:
+            return []
+        return [c for c in self._edge_df.columns if c not in _INTERNAL_E]
+
     @property
     def vertex_types(self) -> List[str]:
         if self._vertex_df is None:
@@ -84,16 +129,49 @@ class PropertyGraph:
             return []
         return sorted(self._edge_df[TYPE_COL].unique().tolist())
 
-    def get_num_vertices(self) -> int:
-        ids = set()
-        if self._vertex_df is not None:
-            ids |= set(self._vertex_df[VERTEX_COL])
-        if self._edge_df is not None:
-            ids |= set(self._edge_df[SRC_COL]) | set(self._edge_df[DST_COL])
-        return len(ids)
+    @property
+    def edges(self) -> Optional[pd.DataFrame]:
+        if self._edge_df is None:
+            return None
+        return self._edge_df[[SRC_COL, DST_COL, EDGE_ID_COL]].copy()
 
-    def get_num_edges(self) -> int:
-        return 0 if self._edge_df is None else len(self._edge_df)
+    def get_vertices(self, selection=None) -> pd.Series:
+        """Unique vertex ids across vertex AND edge data."""
+        sers = []
+        if self._vertex_df is not None:
+            sers.append(self._vertex_df[VERTEX_COL])
+        if self._edge_df is not None:
+            sers.append(self._edge_df[SRC_COL])
+            sers.append(self._edge_df[DST_COL])
+        if not sers:
+            return pd.Series(dtype="int64")
+        return pd.Series(pd.concat(sers).unique())
+
+    def vertices_ids(self) -> pd.Series:
+        return self.get_vertices()
+
+    def get_num_vertices(
+        self, type: Optional[str] = None, *, include_edge_data: bool = True
+    ) -> int:
+        if type is None:
+            if not include_edge_data:
+                return 0 if self._vertex_df is None else len(self._vertex_df)
+            return len(self.get_vertices())
+        if self._vertex_df is None:
+            return 0
+        counts = self._vertex_df[TYPE_COL].value_counts()
+        n = int(counts.get(type, 0))
+        if type == "" and include_edge_data:
+            # vertices appearing only in edge data carry the default type
+            n += len(self.get_vertices()) - len(self._vertex_df)
+        return n
+
+    def get_num_edges(self, type: Optional[str] = None) -> int:
+        if self._edge_df is None:
+            return 0
+        if type is None:
+            return len(self._edge_df)
+        return int(self._edge_df[TYPE_COL].value_counts().get(type, 0))
 
     def get_vertex_data(
         self, vertex_ids=None, types=None, columns=None
@@ -119,39 +197,131 @@ class PropertyGraph:
             df = df[[SRC_COL, DST_COL, EDGE_ID_COL, TYPE_COL] + list(columns)]
         return df.reset_index(drop=True)
 
-    # ---- graph extraction ------------------------------------------------
+    # ---- multigraph checks (ref :1278-1301) ------------------------------
+    @classmethod
+    def is_multigraph(cls, df: pd.DataFrame) -> bool:
+        return cls.has_duplicate_edges(df)
+
+    @classmethod
+    def has_duplicate_edges(cls, df: pd.DataFrame, columns=None) -> bool:
+        if df is None or len(df) == 0:
+            return False
+        cols = [SRC_COL, DST_COL] + (list(columns) if columns else [])
+        return bool(df.duplicated(subset=cols).any())
+
+    # ---- selections (ref :780-869) ----------------------------------------
+    def select_vertices(
+        self, expr: str, from_previous_selection: Optional[PropertySelection] = None
+    ) -> PropertySelection:
+        """Evaluate expr over the vertex table -> PropertySelection. A
+        previous vertex selection restricts the rows considered."""
+        expects(self._vertex_df is not None, "no vertex data")
+        mask = self._vertex_df.eval(expr)
+        if (
+            from_previous_selection is not None
+            and from_previous_selection.vertex_selections is not None
+        ):
+            mask = mask & from_previous_selection.vertex_selections
+        return PropertySelection(vertex_selection=mask)
+
+    def select_edges(self, expr: str) -> PropertySelection:
+        expects(self._edge_df is not None, "no edge data")
+        return PropertySelection(edge_selection=self._edge_df.eval(expr))
+
+    # ---- graph extraction (ref :871-993) -----------------------------------
     def extract_subgraph(
         self,
         create_using: Optional[Graph] = None,
-        edge_types=None,
+        selection=None,
         edge_weight_property: Optional[str] = None,
-        selection: Optional[pd.Series] = None,
+        default_edge_weight: Optional[float] = None,
+        check_multi_edges: bool = True,
+        renumber_graph: bool = True,
+        add_edge_data: bool = True,
+        edge_types=None,
     ) -> Graph:
-        """Build an algorithm Graph from (a selection of) the edge table
-        (ref: PropertyGraph.extract_subgraph)."""
+        """Build an algorithm Graph from the selected edges. A vertex
+        selection restricts edges to those whose BOTH endpoints are
+        selected (ref extract_subgraph semantics)."""
         expects(self._edge_df is not None, "no edge data")
         df = self._edge_df
         if edge_types is not None:
             df = df[df[TYPE_COL].isin(edge_types)]
+        if isinstance(selection, pd.Series):  # back-compat: bare edge mask
+            selection = PropertySelection(edge_selection=selection)
         if selection is not None:
-            df = df[selection]
+            if selection.edge_selections is not None:
+                df = df[selection.edge_selections.reindex(df.index, fill_value=False)]
+            if selection.vertex_selections is not None:
+                chosen = set(
+                    self._vertex_df.loc[
+                        selection.vertex_selections, VERTEX_COL
+                    ]
+                )
+                df = df[df[SRC_COL].isin(chosen) & df[DST_COL].isin(chosen)]
         g = create_using if create_using is not None else Graph(directed=True)
+        if check_multi_edges and not getattr(g, "is_multigraph", lambda: False)():
+            expects(
+                not self.has_duplicate_edges(df),
+                "selection yields a multigraph; pass check_multi_edges=False "
+                "or create_using=MultiGraph",
+            )
         edgelist = pd.DataFrame(
             {"source": df[SRC_COL], "destination": df[DST_COL]}
         )
         attr = None
         if edge_weight_property is not None:
-            edgelist["weight"] = df[edge_weight_property].to_numpy()
+            expects(
+                edge_weight_property in df.columns,
+                f"graph has no edge property {edge_weight_property!r}",
+            )
+            wcol = df[edge_weight_property]
+            if default_edge_weight is not None:
+                wcol = wcol.fillna(default_edge_weight)
+            edgelist["weight"] = wcol.to_numpy()
             attr = "weight"
-        g.from_pandas_edgelist(edgelist, edge_attr=attr)
+        elif default_edge_weight is not None:
+            edgelist["weight"] = default_edge_weight
+            attr = "weight"
+        g.from_pandas_edgelist(edgelist, edge_attr=attr, renumber=renumber_graph)
+        if add_edge_data:
+            g.edge_data = df[[SRC_COL, DST_COL, EDGE_ID_COL, TYPE_COL]].reset_index(
+                drop=True
+            )
         return g
 
-    def select_edges(self, expr: str) -> pd.Series:
-        """Boolean mask over the edge table via DataFrame.eval."""
-        return self._edge_df.eval(expr)
+    # ---- renumber by type (ref :1168-1276) ----------------------------------
+    def renumber_vertices_by_type(self) -> pd.DataFrame:
+        """Reassign vertex ids so each vertex type occupies a contiguous
+        range; edge endpoints are remapped. Returns a dataframe of
+        (start, stop) inclusive id ranges indexed by type."""
+        expects(self._vertex_df is not None, "no vertex data")
+        df = self._vertex_df.sort_values(TYPE_COL, kind="stable")
+        old = df[VERTEX_COL].to_numpy()
+        new = np.arange(len(df))
+        mapping = dict(zip(old.tolist(), new.tolist()))
+        self._vertex_df = df.assign(**{VERTEX_COL: new}).reset_index(drop=True)
+        if self._edge_df is not None:
+            self._edge_df[SRC_COL] = self._edge_df[SRC_COL].map(mapping)
+            self._edge_df[DST_COL] = self._edge_df[DST_COL].map(mapping)
+            expects(
+                not self._edge_df[SRC_COL].isna().any()
+                and not self._edge_df[DST_COL].isna().any(),
+                "edge data references vertices missing from vertex data",
+            )
+        grp = self._vertex_df.groupby(TYPE_COL)[VERTEX_COL]
+        return pd.DataFrame({"start": grp.min(), "stop": grp.max()})
 
-    def select_vertices(self, expr: str) -> pd.Series:
-        return self._vertex_df.eval(expr)
+    def renumber_edges_by_type(self) -> pd.DataFrame:
+        """Reassign edge ids so each edge type occupies a contiguous range.
+        Returns (start, stop) inclusive ranges indexed by type."""
+        expects(self._edge_df is not None, "no edge data")
+        df = self._edge_df.sort_values(TYPE_COL, kind="stable")
+        df = df.assign(**{EDGE_ID_COL: np.arange(len(df))})
+        self._edge_df = df.reset_index(drop=True)
+        self._next_edge_id = len(df)
+        grp = self._edge_df.groupby(TYPE_COL)[EDGE_ID_COL]
+        return pd.DataFrame({"start": grp.min(), "stop": grp.max()})
 
     def annotate_dataframe(self, df, G, edge_vertex_col_names=(SRC_COL, DST_COL)):
         """Join edge properties back onto an edge dataframe."""

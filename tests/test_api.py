@@ -167,3 +167,57 @@ def test_hungarian_matches_scipy():
     # assignment is a permutation of tasks achieving the same cost
     got = cost[np.arange(nw), np.searchsorted(tasks, assign)].sum()
     np.testing.assert_allclose(got, total, rtol=1e-5)
+
+
+def test_property_graph_selections_and_types():
+    """PropertySelection composition, typed counts, property names, by-type
+    renumbering, multigraph checks (ref property_graph.py:28,238,780,1168)."""
+    from cugraph_tpu.api import PropertySelection
+
+    pg = PropertyGraph()
+    people = pd.DataFrame({"id": [0, 1, 2], "age": [25, 30, 35]})
+    shops = pd.DataFrame({"id": [10, 11], "rating": [4.5, 3.0]})
+    pg.add_vertex_data(people, "id", type_name="person")
+    pg.add_vertex_data(shops, "id", type_name="shop")
+    pays = pd.DataFrame({"s": [0, 1, 2], "d": [10, 11, 10], "amount": [5.0, 9.0, 2.0]})
+    knows = pd.DataFrame({"s": [0, 1], "d": [1, 2]})
+    pg.add_edge_data(pays, ("s", "d"), type_name="pays")
+    pg.add_edge_data(knows, ("s", "d"), type_name="knows")
+
+    assert pg.get_num_vertices() == 5
+    assert pg.get_num_vertices("person") == 3
+    assert pg.get_num_edges("pays") == 3 and pg.get_num_edges("knows") == 2
+    assert pg.vertex_property_names == ["age", "rating"]
+    assert "amount" in pg.edge_property_names
+    assert len(pg.get_vertices()) == 5
+
+    # vertex selection restricts edges to both-endpoint matches
+    vsel = pg.select_vertices("_TYPE_ == 'person'")
+    esel = pg.select_edges("_TYPE_ == 'knows'")
+    combined = vsel + esel
+    assert isinstance(combined, PropertySelection)
+    g = pg.extract_subgraph(selection=combined, check_multi_edges=False)
+    assert g.core.num_edges == 2  # only knows-edges between persons
+
+    # default_edge_weight fills for edges lacking the property
+    gw = pg.extract_subgraph(
+        edge_weight_property="amount", default_edge_weight=1.0,
+        check_multi_edges=False,
+    )
+    assert gw.core.weighted
+
+    # edge_data annotation attached for annotate_dataframe
+    assert hasattr(gw, "edge_data") and len(gw.edge_data) == 5
+
+    # renumber by type -> contiguous typed ranges
+    spans = pg.renumber_vertices_by_type()
+    assert spans.loc["person", "stop"] - spans.loc["person", "start"] == 2
+    espans = pg.renumber_edges_by_type()
+    assert espans.loc["knows", "start"] == 0  # sorted type order
+    # duplicate-edge (multigraph) detection
+    dup = pd.DataFrame({"s": [5, 5], "d": [6, 6]})
+    pg2 = PropertyGraph()
+    pg2.add_edge_data(dup, ("s", "d"))
+    assert PropertyGraph.has_duplicate_edges(pg2._edge_df)
+    with pytest.raises(Exception):
+        pg2.extract_subgraph()  # check_multi_edges=True on non-multigraph
