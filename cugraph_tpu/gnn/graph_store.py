@@ -27,19 +27,33 @@ from ..utils.error import expects
 
 
 class FeatureStorage:
-    """Feature fetch wrapper (ref CuFeatureStorage): returns device arrays."""
+    """Feature fetch wrapper (ref CuFeatureStorage): returns device arrays.
 
-    def __init__(self, pg: PropertyGraph, columns: Sequence[str], type_name: str):
+    storage_type "node": indices are vertex ids; "edge": edge ids."""
+
+    def __init__(
+        self,
+        pg: PropertyGraph,
+        columns: Sequence[str],
+        type_name: str,
+        storage_type: str = "node",
+    ):
         self.pg = pg
         self.columns = list(columns)
         self.type_name = type_name
+        self.storage_type = storage_type
 
     def fetch(self, indices) -> jax.Array:
-        df = self.pg.get_vertex_data(
-            vertex_ids=np.asarray(indices),
-            types=[self.type_name] if self.type_name else None,
-        )
-        df = df.set_index(VERTEX_COL).loc[np.asarray(indices)]
+        types = [self.type_name] if self.type_name else None
+        idx = np.asarray(indices)
+        if self.storage_type == "edge":
+            from ..api.property_graph import EDGE_ID_COL
+
+            df = self.pg.get_edge_data(edge_ids=idx, types=types)
+            df = df.set_index(EDGE_ID_COL).loc[idx]
+        else:
+            df = self.pg.get_vertex_data(vertex_ids=idx, types=types)
+            df = df.set_index(VERTEX_COL).loc[idx]
         return jnp.asarray(df[self.columns].to_numpy(dtype=np.float32))
 
 
@@ -59,7 +73,7 @@ class GraphStore:
         self.pg.add_edge_data(df, vertex_col_names, type_name=edge_type)
         self._graph_cache = None
 
-    # ---- graph views -----------------------------------------------------
+    # ---- graph views (ref CuGraphStore :125-148, :320-326) -----------------
     @property
     def num_vertices(self) -> int:
         return self.pg.get_num_vertices()
@@ -67,6 +81,47 @@ class GraphStore:
     @property
     def num_edges(self) -> int:
         return self.pg.get_num_edges()
+
+    def num_nodes(self, ntype: Optional[str] = None) -> int:
+        return self.pg.get_num_vertices(ntype)
+
+    def num_edges_of(self, etype: Optional[str] = None) -> int:
+        return self.pg.get_num_edges(etype)
+
+    @property
+    def ntypes(self):
+        return self.pg.vertex_types
+
+    @property
+    def etypes(self):
+        return self.pg.edge_types
+
+    @property
+    def has_multiple_etypes(self) -> bool:
+        return len(self.pg.edge_types) > 1
+
+    @property
+    def num_nodes_dict(self) -> Dict[str, int]:
+        return {t: self.pg.get_num_vertices(t) for t in self.pg.vertex_types}
+
+    @property
+    def num_edges_dict(self) -> Dict[str, int]:
+        return {t: self.pg.get_num_edges(t) for t in self.pg.edge_types}
+
+    def get_vertex_ids(self) -> np.ndarray:
+        return np.asarray(self.pg.get_vertices())
+
+    def find_edges(self, edge_ids, etype: Optional[str] = None):
+        """(src, dst) endpoint arrays for the given edge ids
+        (ref CuGraphStore.find_edges :346)."""
+        from ..api.property_graph import EDGE_ID_COL
+
+        df = self.pg.get_edge_data(
+            edge_ids=np.asarray(edge_ids),
+            types=[etype] if etype else None,
+        )
+        df = df.set_index(EDGE_ID_COL).loc[np.asarray(edge_ids)]
+        return df[SRC_COL].to_numpy(), df[DST_COL].to_numpy()
 
     def _algo_graph(self):
         if self._graph_cache is None:
@@ -103,7 +158,11 @@ class GraphStore:
         )
 
     def get_node_storage(self, columns, node_type: str = "") -> FeatureStorage:
-        return FeatureStorage(self.pg, columns, node_type)
+        return FeatureStorage(self.pg, columns, node_type, storage_type="node")
+
+    def get_edge_storage(self, columns, edge_type: str = "") -> FeatureStorage:
+        """Edge-feature fetch by edge id (ref CuGraphStore.get_edge_storage)."""
+        return FeatureStorage(self.pg, columns, edge_type, storage_type="edge")
 
     def node_subgraph(self, nodes):
         """Induced subgraph over a node subset (ref CuGraphStore helpers)."""

@@ -171,3 +171,27 @@ def test_neighbor_loader(karate):
         out = model.apply(params, block.graph, x)
         assert out.shape == (block.graph.num_vertices, 4)
     assert total_seeds == 20
+
+
+def test_graph_store_dgl_surface(karate):
+    """Typed counts, edge storage, find_edges — the CuGraphStore surface
+    (ref gnn/graph_store.py:125-148,346,402)."""
+    src, dst, w = karate_edgelist()
+    store = GraphStore()
+    store.add_edge_data(
+        pd.DataFrame({"src": src, "dst": dst, "w": w}), ("src", "dst"),
+        edge_type="knows",
+    )
+    v_ids = np.arange(34)
+    store.add_node_data(
+        pd.DataFrame({"id": v_ids, "f0": v_ids * 1.0}), "id", node_type="person"
+    )
+    assert store.ntypes == ["person"] and store.etypes == ["knows"]
+    assert not store.has_multiple_etypes
+    assert store.num_nodes("person") == 34
+    assert store.num_edges_dict == {"knows": len(src)}
+    assert len(store.get_vertex_ids()) == 34
+    s_, d_ = store.find_edges([0, 2], etype="knows")
+    assert s_.tolist() == [src[0], src[2]] and d_.tolist() == [dst[0], dst[2]]
+    ef = store.get_edge_storage(["w"], "knows").fetch([1, 3])
+    np.testing.assert_allclose(np.asarray(ef)[:, 0], [w[1], w[3]], rtol=1e-6)
