@@ -1247,7 +1247,7 @@ def build_sorted_layout_auto(
                 return load_sorted_layout(cpath)
             except Exception:
                 pass  # corrupt/stale cache entry: rebuild
-    heavy = min(cfg.heavy_dst, cfg.part_rows)
+    heavy = cfg.heavy_dst  # build_sorted_layout caps at 4 lane columns
     floor = min(128, heavy)  # tiny test configs start below 128
     last = None
     while heavy >= floor:
