@@ -26,7 +26,6 @@ def main():
     import jax.numpy as jnp
 
     from cugraph_tpu.prims.pallas.spmv2 import (
-        _ext_meta,
         _sorted_spmv_jit,
         sorted_layout_for,
     )
@@ -48,15 +47,13 @@ def main():
     build_s = time.perf_counter() - t0
     print(f"layout built: {build_s:.1f}s  slabs={lay.n_slabs} parts={lay.n_parts} "
           f"bins={lay.n_bins} steps={lay.n_steps}", flush=True)
-    ext_idx, rot_g, rounds = _ext_meta(lay)
-    print(f"rounds_static={rounds}", flush=True)
 
     rng = np.random.default_rng(0)
     x_np = rng.normal(size=g.num_vertices).astype(np.float32)
     x = jnp.asarray(x_np)
 
     t0 = time.perf_counter()
-    y = _sorted_spmv_jit(lay, x, ext_idx, rot_g, rounds)
+    y = _sorted_spmv_jit(lay, x)
     jax.block_until_ready(y)
     print(f"first call (compile): {time.perf_counter()-t0:.1f}s", flush=True)
 
@@ -79,22 +76,22 @@ def main():
     # payload -> HTTP 413; see CLAUDE.md).
     from functools import partial
 
-    @partial(jax.jit, static_argnames=("iters", "rounds"))
-    def chain(lay, ext_idx, rot_g, x0, iters, rounds):
+    @partial(jax.jit, static_argnames=("iters",))
+    def chain(lay, x0, iters):
         def body(i, s):
-            y = _sorted_spmv_jit(lay, s, ext_idx, rot_g, rounds)
+            y = _sorted_spmv_jit(lay, s)
             return s * 0.5 + y * 1e-6
         return jnp.sum(jax.lax.fori_loop(0, iters, body, x0))
 
-    jax.block_until_ready(chain(lay, ext_idx, rot_g, x, 1, rounds))
-    jax.block_until_ready(chain(lay, ext_idx, rot_g, x, 9, rounds))
+    jax.block_until_ready(chain(lay, x, 1))
+    jax.block_until_ready(chain(lay, x, 9))
     t1 = t9 = float("inf")
     for _ in range(4):
         a = time.perf_counter()
-        jax.block_until_ready(chain(lay, ext_idx, rot_g, x, 1, rounds))
+        jax.block_until_ready(chain(lay, x, 1))
         t1 = min(t1, time.perf_counter() - a)
         a = time.perf_counter()
-        jax.block_until_ready(chain(lay, ext_idx, rot_g, x, 9, rounds))
+        jax.block_until_ready(chain(lay, x, 9))
         t9 = min(t9, time.perf_counter() - a)
     per = (t9 - t1) / 8
     print(f"per-pass {per*1e3:.2f} ms  {g.num_edges/per/1e9:.3f} Gedge/s "

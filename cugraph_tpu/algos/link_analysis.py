@@ -197,16 +197,12 @@ def hits(
     )
     lkind, lay_in, lay_out = None, None, None
     if g.num_edges >= 1 << 18:
-        from ..prims.pallas.spmv2 import _ext_meta, sorted_layout_for
+        from ..prims.pallas.spmv2 import sorted_layout_for
 
         li = sorted_layout_for(g, direction="in")
         lo = sorted_layout_for(g, direction="out")
         if li is not None and lo is not None:
-            ei, rg, _ = _ext_meta(li)
-            lay_in = (li, ei, rg)
-            ei2, rg2, _ = _ext_meta(lo)
-            lay_out = (lo, ei2, rg2)
-            lkind = "sorted"
+            lay_in, lay_out, lkind = li, lo, "sorted"
     h, a, iters = _hits_jit(
         g, jnp.asarray(tol, WEIGHT_DTYPE), h0, max_iterations, normalized,
         lkind, lay_in, lay_out,

@@ -34,8 +34,8 @@ def _as_source_mask(g: Graph, sources) -> jax.Array:
     return jnp.zeros(g.num_vertices, dtype=bool).at[sources].set(True)
 
 
-@partial(jax.jit, static_argnames=("depth_limit", "rounds"))
-def _bfs_pallas_jit(g: Graph, src_mask, depth_limit: int, lay, ei, rg, rounds):
+@partial(jax.jit, static_argnames=("depth_limit",))
+def _bfs_pallas_jit(g: Graph, src_mask, depth_limit: int, lay):
     """BFS levels through the MIN-variant sorted pipeline: one min-plus
     sweep per level over x[u] = (u if u in frontier else +inf) yields BOTH
     the expansion (y < inf == frontier OR) and the predecessor (y = min
@@ -58,7 +58,7 @@ def _bfs_pallas_jit(g: Graph, src_mask, depth_limit: int, lay, ei, rg, rounds):
     def body(state):
         visited, dist, pred, frontier, depth = state
         x = jnp.where(frontier, ids, INF)
-        y = _sorted_spmv_jit(lay, x, ei, rg, rounds, reduce="min")
+        y = _sorted_spmv_jit(lay, x, reduce="min")
         new = jnp.isfinite(y) & ~visited
         dist = jnp.where(new, depth + 1, dist)
         pred = jnp.where(new, y.astype(jnp.int32), pred)
@@ -118,32 +118,23 @@ def bfs(
     del direction_optimizing
     src_mask = _as_source_mask(g, sources)
     limit = int(depth_limit) if depth_limit is not None else g.num_vertices
-    lp = _min_layout_pack(g)
-    if lp is not None:
-        lay, ei, rg, rounds = lp
-        return _bfs_pallas_jit(g, src_mask, limit, lay, ei, rg, rounds)
+    lay = _min_layout(g)
+    if lay is not None:
+        return _bfs_pallas_jit(g, src_mask, limit, lay)
     return _bfs_jit(g, src_mask, limit)
 
 
-def _min_layout_pack(g: Graph, use_weights: bool = False):
-    """(layout, ext_idx, rot_g, rounds) for the min-plus pipeline, or None
-    (non-TPU backend, graph too small/large, traced graph, or V > 2^24 —
-    vertex ids must be f32-exact)."""
-
+def _min_layout(g: Graph, use_weights: bool = False):
+    """Layout for the min-plus pipeline, or None (non-TPU backend, graph
+    too small/large, traced graph, or V > 2^24 — vertex ids must be
+    f32-exact)."""
     if g.num_edges < 1 << 18 or g.num_vertices > 1 << 24:
         return None
     if isinstance(g.csc().majors, jax.core.Tracer):
         return None
-    from ..prims.pallas.spmv2 import (
-        _ext_meta,
-        sorted_layout_for,
-    )
+    from ..prims.pallas.spmv2 import sorted_layout_for
 
-    lay = sorted_layout_for(g, use_weights=use_weights, variant="min")
-    if lay is None:
-        return None
-    ei, rg, rounds = _ext_meta(lay)
-    return lay, ei, rg, rounds
+    return sorted_layout_for(g, use_weights=use_weights, variant="min")
 
 
 @partial(jax.jit, static_argnames=())
@@ -191,8 +182,8 @@ def _sssp_jit(g: Graph, src_mask: jax.Array, cutoff):
     return dist, pred
 
 
-@partial(jax.jit, static_argnames=("rounds",))
-def _sssp_pallas_jit(g: Graph, src_mask, cutoff, lay, ei, rg, rounds):
+@jax.jit
+def _sssp_pallas_jit(g: Graph, src_mask, cutoff, lay):
     """SSSP distances via min-plus pipeline sweeps (Bellman-Ford over full
     relaxations; converges in hop-diameter rounds), then one edge post-pass
     for predecessors. The pipeline and the post-pass round identically in
@@ -209,7 +200,7 @@ def _sssp_pallas_jit(g: Graph, src_mask, cutoff, lay, ei, rg, rounds):
 
     def body(state):
         dist, _, it = state
-        relax = _sorted_spmv_jit(lay, dist, ei, rg, rounds, reduce="min")
+        relax = _sorted_spmv_jit(lay, dist, reduce="min")
         relax = jnp.where(relax <= cutoff, relax, inf)
         nd = jnp.minimum(dist, relax)
         return nd, jnp.any(nd < dist), it + 1
@@ -248,12 +239,9 @@ def sssp(
     src_mask = _as_source_mask(g, source)
     c = jnp.asarray(cutoff if cutoff is not None else jnp.inf, WEIGHT_DTYPE)
     if g.weighted:
-        lp = _min_layout_pack(g, use_weights=True)
-        if lp is not None:
-            lay, ei, rg, rounds = lp
-            return _sssp_pallas_jit(
-                g, src_mask, c.astype(jnp.float32), lay, ei, rg, rounds
-            )
+        lay = _min_layout(g, use_weights=True)
+        if lay is not None:
+            return _sssp_pallas_jit(g, src_mask, c.astype(jnp.float32), lay)
     return _sssp_jit(g, src_mask, c)
 
 

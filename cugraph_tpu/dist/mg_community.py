@@ -15,9 +15,15 @@ TPU-native design:
   a (V,)-dense replicated vector (psum-merged) — the dense analog of the
   reference's distributed cluster key/value store; hypersparse compression
   of it is future work (SURVEY.md §7 "Hypersparse regime").
-- Coarsening gathers the (much smaller) contracted graph to the host and
-  continues with the SG dendrogram loop — mirroring how the reference's
-  deeper levels no longer saturate the machine.
+- Coarsening is distributed: each device relabels ITS OWN edge blocks to
+  compact cluster ids on device (mg_coarsen_edge_chunks), and the chunks
+  stream — one device shard at a time — through the chunked two-pass 2D
+  shuffle (distribute_edgelist_chunks). The full dendrogram loop therefore
+  runs on the mesh at every level; no host COO is ever materialized
+  (ref: louvain_impl.cuh's per-level coarsen_graph under MG comms).
+  Parallel coarse edges are kept un-coalesced — every weight path in the
+  sweep (k_op, run aggregation, modularity) sums them, so coalescing is
+  only a bandwidth optimization, matching the multigraph ingest contract.
 """
 
 from __future__ import annotations
@@ -249,6 +255,68 @@ def _mg_louvain_one_level(mesh: Mesh, mgg: MGGraph, resolution: float, max_sweep
     return run_jit(jnp.asarray(resolution, WEIGHT_DTYPE), max_sweeps, *_graph_args(mgg))
 
 
+def mg_coarsen_edge_chunks(mesh: Mesh, mgg: MGGraph, labels_sharded, old_to_new):
+    """Device-side edge relabeling for contraction.
+
+    Each device maps its edge blocks (u, v, w) -> (c(u), c(v), w) with the
+    compact cluster map old_to_new ((vtot,) int32, -1 for unused) and the
+    already-sharded labels; invalid/padding slots come back as cu = -1.
+    Returns a zero-arg callable yielding one (cu, cv, w) numpy chunk per
+    device — the ChunkSource for distribute_edgelist_chunks. Only one
+    device shard is host-resident at a time (ref: coarsen_graph under MG
+    comms, coarsen_graph_impl.cuh)."""
+    r, c, vp = mgg.rows, mgg.cols, mgg.vp
+    span = r * vp
+
+    @jax.jit
+    def relabel_jit(o2n, labels, *args):
+        @partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(P(), VERT) + tuple([BLOCK] * len(args)),
+            out_specs=(BLK3, BLK3, BLK3),
+        )
+        def run(o2n_r, labels_l, *gargs):
+            srcs, dsts, w, _ = _split_args(gargs, mgg.weighted)
+            srcs, dsts, w = _edge_args(mgg, srcs, dsts, w)
+            labels_l = labels_l[0, 0]
+            lab_span = mg_prims.gather_src_values(labels_l)  # (span,)
+            lab_blocks = mg_prims.gather_dst_values(labels_l)  # (C, vp)
+            valid = (dsts < vp).reshape(-1)
+            flat_src = srcs.reshape(-1)
+            cu_g = jnp.take(lab_span, jnp.minimum(flat_src, span - 1))
+            cv_g = jnp.take_along_axis(
+                lab_blocks, jnp.minimum(dsts.reshape(c, -1), vp - 1), axis=1
+            ).reshape(-1)
+            cu = jnp.take(o2n_r, cu_g)
+            cv = jnp.take(o2n_r, cv_g)
+            cu = jnp.where(valid, cu, -1)
+            cv = jnp.where(valid, cv, -1)
+            ew = (
+                w.reshape(-1)
+                if w is not None
+                else jnp.ones_like(cu, WEIGHT_DTYPE)
+            )
+            return _wrap(cu), _wrap(cv), _wrap(ew.astype(WEIGHT_DTYPE))
+
+        return run(o2n, labels, *args)
+
+    cu_all, cv_all, w_all = relabel_jit(
+        jnp.asarray(old_to_new, jnp.int32), labels_sharded, *_graph_args(mgg)
+    )
+
+    def chunks():
+        for i in range(r):
+            for j in range(c):
+                cu = np.asarray(cu_all[i, j])
+                cv = np.asarray(cv_all[i, j])
+                ww = np.asarray(w_all[i, j])
+                keep = cu >= 0
+                yield cu[keep], cv[keep], ww[keep]
+
+    return chunks
+
+
 def mg_louvain(
     mesh: Mesh,
     mgg: MGGraph,
@@ -256,33 +324,44 @@ def mg_louvain(
     resolution: float = 1.0,
     threshold: float = 1e-7,
 ) -> Tuple[np.ndarray, float]:
-    """Distributed Louvain. Returns (labels (V,) numpy, modularity).
+    """Distributed Louvain: the FULL dendrogram runs on the mesh — each
+    level is a distributed local-moving phase followed by a distributed
+    contraction (device relabel -> chunked 2D shuffle). Only O(V)-sized
+    label vectors touch the host between levels. Returns
+    (labels (V,) numpy, modularity)."""
+    from .mg_graph import distribute_edgelist_chunks, shard_vertex_values
 
-    Level 1 runs distributed on the mesh; the contracted graph continues
-    through the SG dendrogram loop (see module docstring)."""
     expects(mgg.is_symmetric, "louvain requires a symmetric graph")
-    labels_sh, moves = _mg_louvain_one_level(mesh, mgg, resolution, max_sweeps=64)
-    labels = unshard_vertex_values(mgg, labels_sh)
-    if int(moves) == 0:
-        from ..algos.community import modularity as sg_modularity
-
-        q = mg_modularity(mesh, mgg, labels_sh, resolution)
-        return labels.astype(NP_VERTEX_DTYPE), float(q)
-
-    # contract on host, continue SG
-    from ..core.coarsen import coarsen_graph
-    from ..core.csr import from_edgelist
-    from ..algos.community import louvain as sg_louvain, modularity as sg_modularity
-
-    src, dst, w = mg_decompress_to_edgelist(mgg)
-    g_full = from_edgelist(
-        src, dst, w, num_vertices=mgg.num_vertices, is_symmetric=True
+    cur = mgg
+    labels_global: np.ndarray = np.arange(mgg.num_vertices, dtype=NP_VERTEX_DTYPE)
+    best_labels = labels_global
+    best_q = mg_modularity(
+        mesh, mgg, shard_vertex_values(mesh, mgg, labels_global), resolution
     )
-    coarse, cluster_ids = coarsen_graph(g_full, labels)
-    compact = np.searchsorted(cluster_ids, labels).astype(NP_VERTEX_DTYPE)
-    sub_labels, _ = sg_louvain(
-        coarse, max_level=max_level - 1, resolution=resolution, threshold=threshold
-    )
-    final = np.asarray(sub_labels)[compact]
-    q = sg_modularity(g_full, final, resolution)
-    return final.astype(NP_VERTEX_DTYPE), float(q)
+    level = 0
+    while level < max_level:
+        labels_sh, moves = _mg_louvain_one_level(mesh, cur, resolution, max_sweeps=64)
+        if int(moves) == 0:
+            break
+        lab = unshard_vertex_values(cur, labels_sh)
+        uniq = np.unique(lab)
+        compact = np.searchsorted(uniq, lab).astype(NP_VERTEX_DTYPE)
+        cand = compact[labels_global]
+        q = mg_modularity(
+            mesh, mgg, shard_vertex_values(mesh, mgg, cand), resolution
+        )
+        if q <= best_q + threshold:
+            break
+        best_q, best_labels, labels_global = q, cand, cand
+        if len(uniq) == cur.num_vertices:
+            break  # no contraction progress
+        old_to_new = np.full(
+            cur.rows * cur.cols * cur.vp, -1, dtype=NP_VERTEX_DTYPE
+        )
+        old_to_new[uniq] = np.arange(len(uniq), dtype=NP_VERTEX_DTYPE)
+        chunks = mg_coarsen_edge_chunks(mesh, cur, labels_sh, old_to_new)
+        cur = distribute_edgelist_chunks(
+            mesh, chunks, num_vertices=len(uniq), is_symmetric=True
+        )
+        level += 1
+    return best_labels.astype(NP_VERTEX_DTYPE), float(best_q)

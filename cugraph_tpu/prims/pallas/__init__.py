@@ -20,12 +20,11 @@ def pull_layout_auto(g, *, min_edges: int = 1 << 18):
     retraces per layout TYPE (pytree structure), so the selected engine is
     compile-time static."""
     if g.num_edges >= min_edges:
-        from .spmv2 import _ext_meta, sorted_layout_for
+        from .spmv2 import sorted_layout_for
 
         lay = sorted_layout_for(g)
         if lay is not None:
-            ext_idx, rot_g, _ = _ext_meta(lay)
-            return "sorted", (lay, ext_idx, rot_g)
+            return "sorted", lay
         from .spmv import pull_layout_for
 
         l1 = pull_layout_for(g)
@@ -40,9 +39,7 @@ def pull_aggregate(kind: Optional[str], layout, g, msg):
     if kind == "sorted":
         from .spmv2 import _sorted_spmv_jit
 
-        lay, ext_idx, rot_g = layout
-        rounds_static = ext_idx.shape[0] // lay.n_parts  # shape-static
-        return _sorted_spmv_jit(lay, msg, ext_idx, rot_g, rounds_static)
+        return _sorted_spmv_jit(layout, msg)
     if kind == "v1":
         from .spmv import pull_spmv
 

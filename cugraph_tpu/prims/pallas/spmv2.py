@@ -54,11 +54,11 @@ LANES = 128
 class Spmv2Config:
     slab_rows: int = 2048  # 2^18 elements per slab (VMEM: 3 blocks + d.b.)
     part_rows: int = 2048  # 2^18 elements per part block
-    bin_rows: int = 1024  # dsts per bin = bin_rows * 128
+    bin_rows: int = 512  # dsts per bin = bin_rows * 128; layers = PR // BR
     chunk_rows: int = 16  # assembly copy granularity (16x128 f32 = 8 KB DMA)
     hub_deg: int = 1024  # src out-count threshold for broadcast rows
     heavy_dst: int = 8192  # dst in-count threshold for simple parts
-    max_rounds: int = 8  # extract rotation rounds per sorted part
+    max_rounds: int = 8  # unused (kept for config/cache-key stability)
 
 
 TINY = Spmv2Config(
@@ -82,18 +82,19 @@ class SortedLayout:
     # K-C1 assembly
     chunk_src: jax.Array  # (n_steps,) i32 source block (chunk units)
     chunk_dst: jax.Array  # (n_steps,) i32 dest block (chunk units)
-    # K-C2 sort + reduce
+    # K-C2 sort + reduce: route2 = benes to grouped order (+flag bit5 =
+    # segment start, bit6 = real element); route3 = benes routing masked
+    # group-end totals to layered dst positions (layer k = chunk_id,
+    # kernel merges PR//BR layers into the bin block)
     route2_lo: jax.Array  # (n_route_blocks*part_rows, 128) i32
-    route2_hi: jax.Array  # (n_route_blocks*part_rows, 128) i32 (+flag bit5)
-    ext: jax.Array  # (n_ext_blocks*(bin_rows+8), 128) i32 packed routes
+    route2_hi: jax.Array  # (n_route_blocks*part_rows, 128) i32 (+bits 5/6)
+    route3_lo: jax.Array  # (n_route_blocks*part_rows, 128) i32
+    route3_hi: jax.Array  # (n_route_blocks*part_rows, 128) i32
     route_blk: jax.Array  # (n_parts,) i32 route block of part (0 = dummy)
-    ext_blk: jax.Array  # (n_parts,) i32 first ext block of part
     bin_of_part: jax.Array  # (n_parts,) i32
     first_flag: jax.Array  # (n_parts,) i32 1 = first part of its bin
     mode: jax.Array  # (n_parts,) i32 0 = sorted, 1 = simple
     simple_pos: jax.Array  # (n_parts,) i32 packed r*128+l dst slot (simple)
-    n_rounds: jax.Array  # (n_parts,) i32
-    rot: jax.Array  # (n_parts * max_rounds,) i32 lane rotation per round
     cfg: Spmv2Config = dataclasses.field(metadata=dict(static=True))
     n_slabs: int = dataclasses.field(metadata=dict(static=True))
     n_parts: int = dataclasses.field(metadata=dict(static=True))
@@ -329,12 +330,14 @@ def build_sorted_layout(
         runs_by_bin.setdefault(bi, []).append(ridx)
 
     # Destinations beyond the simple-part threshold get masked-sum parts.
-    # Mid-heavy dsts (up to 4 full lane columns) stay on the sorted path —
-    # the first-fit splits them into chunk_id groups of <= PR elements,
-    # each spilling to its own extract round. Only true hubs go simple:
-    # routing every (hub, slab) piece through chunk-granular assembly was
-    # measured to blow up copied volume ~38x at RMAT scale 20.
-    heavy_eff = min(cfg.heavy_dst, 4 * (part_e // LANES))
+    # Mid-heavy dsts (up to `layers` full lane columns) stay on the sorted
+    # path — the first-fit splits them into chunk_id groups of <= PR
+    # elements, each routed to its own output layer. Only true hubs go
+    # simple: routing every (hub, slab) piece through chunk-granular
+    # assembly was measured to blow up copied volume ~38x at RMAT scale 20.
+    assert PR % BR == 0, "part_rows must be a multiple of bin_rows"
+    layers = PR // BR
+    heavy_eff = min(cfg.heavy_dst, layers * PR)
     heavy_v = np.nonzero(in_cnt >= heavy_eff)[0]
 
     def piece_rows(sel, r0):
@@ -415,9 +418,7 @@ def build_sorted_layout(
     # the two boundary chunks, handled by trash routing / masking below.
     chunk_src, chunk_dst = [], []
     part_meta = []
-    route_jobs = []  # (part_id, perm) for sorted parts
-    ext_blocks = []  # np arrays (bin_rows + 8, 128) int32
-    rot_list = []
+    route_jobs = []  # (part_id, perm, perm2) for sorted parts
     for pid, prt in enumerate(parts):
         my_chunks = []
         # element -> (part position) map
@@ -460,21 +461,17 @@ def build_sorted_layout(
     n_steps = len(chunk_src)
 
     _T("stage7")
-    # ---- per-part routing (pi2), flags, extract -------------------------
+    # ---- per-part routing (pi2), flags, layered output routing ----------
     route_lo_list = [np.zeros((PR, LANES), np.int32)]  # dummy block 0
     route_hi_list = [np.zeros((PR, LANES), np.int32)]
+    route3_lo_list = [np.zeros((PR, LANES), np.int32)]
+    route3_hi_list = [np.zeros((PR, LANES), np.int32)]
     route_blk = np.zeros(n_parts, np.int32)
-    ext_blk = np.zeros(n_parts, np.int32)
     mode_np = np.zeros(n_parts, np.int32)
     simple_pos = np.zeros(n_parts, np.int32)
-    n_rounds_np = np.zeros(n_parts, np.int32)
-    rot_np = np.zeros(n_parts * cfg.max_rounds, np.int32)
     bin_of_part = np.zeros(n_parts, np.int32)
     first_flag = np.zeros(n_parts, np.int32)
     seen_bins = set()
-    dummy_ext = np.full((BR + 8, LANES), -1, np.int32)
-    dummy_ext[:8] = 0
-    ext_blocks.append(dummy_ext)  # block 0 = dummy
 
     for pid, pm in enumerate(part_meta):
         prt = pm["prt"]
@@ -497,11 +494,12 @@ def build_sorted_layout(
             route_blk[pid] = len(route_lo_list)
             route_lo_list.append(mask.view(np.int32).copy())
             route_hi_list.append(np.zeros((PR, LANES), np.int32))
+            route3_lo_list.append(np.zeros((PR, LANES), np.int32))
+            route3_hi_list.append(np.zeros((PR, LANES), np.int32))
             continue
         # sorted part: first-fit lane balancing over (dst, chunk) groups.
         # Each dst splits into chunks of <= PR elements; a chunk is placed
-        # whole on the least-delta lane with room (delta = lane - d mod
-        # 128 selects the extract rotation round).
+        # whole on the least-delta lane with room.
         eids = pm["elem"]
         pos = pm["pos"]  # input positions in part block
         d = dsts[eids]
@@ -573,81 +571,70 @@ def build_sorted_layout(
         free_i = np.nonzero(~used_i)[0]
         perm[inpos] = tgt
         perm[free_i] = free_t
-        route_jobs.append((pid, perm))
-        route_blk[pid] = len(route_lo_list)
-        route_lo_list.append(None)  # filled after routing
-        route_hi_list.append(None)
-        # segment flags: first element of each group; trash positions are
-        # their own segments
+        # segment flags (bit5): first element of each group; trash
+        # positions are their own segments. real mask (bit6): group
+        # elements only — the kernel keeps group-END totals where
+        # real & end, everything else becomes the reduce identity before
+        # the route3 benes, so unused layer slots contribute nothing.
         flags = np.ones(PR * LANES, dtype=bool)
         flags[tgt] = False
         flags[tgt[within == 0]] = True
+        real = np.zeros(PR * LANES, dtype=bool)
+        real[tgt] = True
         pm["flags"] = flags
-        # extract: group END positions -> rounds by delta (collision spill)
-        end_row = grp_row0 + gcount - 1
-        rounds = {}
-        for gi_ in range(len(guniq)):
-            dd = int(guniq[gi_] // 512)
-            delta = int(grp_delta[gi_])
-            r_out = dd // LANES
-            l_out = dd % LANES
-            l_src = int(grp_lane[gi_])
-            srow = int(end_row[gi_])
-            gx = 0
-            while True:
-                blkmap = rounds.setdefault((delta, gx), {})
-                if (r_out, l_src) not in blkmap:
-                    blkmap[(r_out, l_src)] = srow
-                    break
-                gx += 1
-        if len(rounds) > cfg.max_rounds:
-            raise ValueError(
-                f"part {pid}: {len(rounds)} extract rounds > max_rounds="
-                f"{cfg.max_rounds}"
-            )
-        n_rounds_np[pid] = len(rounds)
-        ext_blk[pid] = len(ext_blocks)
-        for gx_, (keyg, blkmap) in enumerate(sorted(rounds.items())):
-            delta, _ = keyg
-            rot_np[pid * cfg.max_rounds + gx_] = delta
-            blk = np.full((BR + 8, LANES), -1, np.int32)
-            win_lo = np.full(LANES, PR // 8, np.int32)
-            win_hi = np.zeros(LANES, np.int32)
-            for (r_out, l_src), srow in blkmap.items():
-                sub = srow % 8
-                svreg = srow // 8
-                blk[8 + r_out, l_src] = (svreg << 3) | sub
-                ov = r_out // 8
-                win_lo[ov] = min(win_lo[ov], svreg)
-                win_hi[ov] = max(win_hi[ov], svreg + 1)
-            blk[0] = win_lo
-            blk[1] = np.maximum(win_hi, win_lo)
-            # row 2: packed (lo << 16) | hi per out-vreg lane (the kernel
-            # reads this row as a vreg; SMEM is too small for a prefetch)
-            blk[2] = (
-                (win_lo.astype(np.int64) << 16)
-                | np.maximum(win_hi, win_lo).astype(np.int64)
-            ).astype(np.int32)
-            ext_blocks.append(blk)
+        pm["real"] = real
+        # route3: group-end totals -> layered dst positions
+        # (flat target = chunk_id * BR*128 + d_loc; layers merge in-kernel)
+        end_flat = (grp_row0 + gcount - 1) * LANES + grp_lane
+        k_of = guniq % 512
+        d_of = guniq // 512
+        if (k_of >= layers).any():
+            raise ValueError("chunk_id exceeds layer capacity")
+        tgt2 = k_of * (BR * LANES) + d_of
+        perm2 = np.arange(PR * LANES, dtype=np.int64)
+        used_t2 = np.zeros(PR * LANES, dtype=bool)
+        used_t2[tgt2] = True
+        used_i2 = np.zeros(PR * LANES, dtype=bool)
+        used_i2[end_flat] = True
+        perm2[end_flat] = tgt2
+        perm2[np.nonzero(~used_i2)[0]] = np.nonzero(~used_t2)[0]
+        route_jobs.append((pid, perm, perm2))
+        route_blk[pid] = len(route_lo_list)
+        route_lo_list.append(None)  # filled after routing
+        route_hi_list.append(None)
+        route3_lo_list.append(None)
+        route3_hi_list.append(None)
 
     _T("stage8")
     # run benes routing (parallel, C++ releases the GIL)
     def _route(job):
-        pid, perm = job
+        pid, perm, perm2 = job
         packed = pack_bits(route_benes(perm))  # (1 or 2, n)
         assert _n_stages(PR * LANES) <= 37, "part too large for 2 route words"
         flags = part_meta[pid]["flags"]
+        real = part_meta[pid]["real"]
         lo = packed[0].reshape(PR, LANES)
         hi = packed[1] if packed.shape[0] > 1 else np.zeros_like(packed[0])
         hi = (
-            hi.astype(np.uint32) | (flags.astype(np.uint32) << 5)
+            hi.astype(np.uint32)
+            | (flags.astype(np.uint32) << 5)
+            | (real.astype(np.uint32) << 6)
         ).astype(np.int32)
-        return pid, lo, hi.reshape(PR, LANES)
+        packed2 = pack_bits(route_benes(perm2))
+        lo3 = packed2[0].reshape(PR, LANES)
+        hi3 = (
+            packed2[1].reshape(PR, LANES)
+            if packed2.shape[0] > 1
+            else np.zeros((PR, LANES), np.int32)
+        )
+        return pid, lo, hi.reshape(PR, LANES), lo3, hi3
 
     with ThreadPoolExecutor(max_workers=8) as tp:
-        for pid, lo, hi in tp.map(_route, route_jobs):
+        for pid, lo, hi, lo3, hi3 in tp.map(_route, route_jobs):
             route_lo_list[route_blk[pid]] = lo
             route_hi_list[route_blk[pid]] = hi
+            route3_lo_list[route_blk[pid]] = lo3
+            route3_hi_list[route_blk[pid]] = hi3
 
     route_lo_np = np.concatenate(
         [b.reshape(PR, LANES) for b in route_lo_list], axis=0
@@ -655,7 +642,12 @@ def build_sorted_layout(
     route_hi_np = np.concatenate(
         [b.reshape(PR, LANES) for b in route_hi_list], axis=0
     )
-    ext_np = np.concatenate(ext_blocks, axis=0)
+    route3_lo_np = np.concatenate(
+        [b.reshape(PR, LANES) for b in route3_lo_list], axis=0
+    )
+    route3_hi_np = np.concatenate(
+        [b.reshape(PR, LANES) for b in route3_hi_list], axis=0
+    )
 
     _T("stage9")
     # K-B routing per slab
@@ -690,15 +682,13 @@ def build_sorted_layout(
         chunk_dst=jnp.asarray(np.asarray(chunk_dst, np.int32)),
         route2_lo=jnp.asarray(route_lo_np),
         route2_hi=jnp.asarray(route_hi_np),
-        ext=jnp.asarray(ext_np),
+        route3_lo=jnp.asarray(route3_lo_np),
+        route3_hi=jnp.asarray(route3_hi_np),
         route_blk=jnp.asarray(route_blk),
-        ext_blk=jnp.asarray(ext_blk),
         bin_of_part=jnp.asarray(bin_of_part),
         first_flag=jnp.asarray(first_flag),
         mode=jnp.asarray(mode_np),
         simple_pos=jnp.asarray(simple_pos),
-        n_rounds=jnp.asarray(n_rounds_np),
-        rot=jnp.asarray(rot_np),
         cfg=cfg,
         n_slabs=n_slabs,
         n_parts=n_parts,
@@ -900,16 +890,13 @@ def _assemble_call(layout, binned, interpret):
     )(layout.chunk_src, layout.chunk_dst, binned)
 
 
-def _sort_reduce_call(
-    layout, pblocks, ext_idx, rot_g, rounds_static, interpret, reduce="sum"
-):
+def _sort_reduce_call(layout, pblocks, interpret, reduce="sum"):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     PR = layout.cfg.part_rows
     BR = layout.cfg.bin_rows
-    G = rounds_static
-    OV = BR // 8
+    LAYERS = PR // BR
     is_sum = reduce == "sum"
     IDENT = 0.0 if is_sum else float(np.inf)
 
@@ -917,12 +904,9 @@ def _sort_reduce_call(
         return a + b if is_sum else jnp.minimum(a, b)
 
     def kern(
-        rb_ref, ei_ref, bp_ref, ff_ref, md_ref, sp_ref, rot_ref,
-        v_ref, lo_ref, hi_ref, *ext_and_out
+        rb_ref, bp_ref, ff_ref, md_ref, sp_ref,
+        v_ref, lo_ref, hi_ref, lo3_ref, hi3_ref, o_ref,
     ):
-        ext_refs = ext_and_out[:G]
-        o_ref = ext_and_out[G]
-        scratch = ext_and_out[G + 1]
         t = pl.program_id(0)
 
         @pl.when(ff_ref[t] == 1)
@@ -953,77 +937,39 @@ def _sort_reduce_call(
         def _():
             x = _apply_benes_block(v_ref[:], lo_ref[:], hi_ref[:], PR)
             flags = ((hi_ref[:] >> 5) & 1).astype(jnp.float32)
-            scratch[:] = _seg_scan_rows(x, flags, PR, reduce)
-            for g in range(G):
-                ext = ext_refs[g]
-                rot = rot_ref[t * G + g]
-                shift = (LANES - rot) % LANES
-
-                winrow = ext[2:3, :]  # packed (lo<<16)|hi per out-vreg lane
-                lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
-
-                def ov_body(o, _):
-                    wl = jnp.sum(jnp.where(lane1 == o, winrow, 0))
-                    lo_w = wl >> 16
-                    hi_w = wl & 0xFFFF
-                    route = ext[pl.ds(8 + o * 8, 8), :]
-                    valid = route >= 0
-                    sub = route & 7
-                    svreg = route >> 3
-
-                    def u_body(u, acc):
-                        page = scratch[pl.ds(u * 8, 8), :]
-                        gvals = jnp.zeros((8, LANES), jnp.float32)
-                        for r in range(8):
-                            gvals = gvals + jnp.where(
-                                sub == r, page[r][None, :], 0.0
-                            )
-                        return merge(
-                            acc, jnp.where(valid & (svreg == u), gvals, IDENT)
-                        )
-
-                    acc = jax.lax.fori_loop(
-                        lo_w, hi_w, u_body,
-                        jnp.full((8, LANES), IDENT, jnp.float32),
-                    )
-                    for k in range(7):
-                        acc = jnp.where(
-                            (shift >> k) & 1 != 0,
-                            pltpu.roll(acc, 1 << k, axis=1),
-                            acc,
-                        )
-                    cur = o_ref[pl.ds(o * 8, 8), :]
-                    o_ref[pl.ds(o * 8, 8), :] = merge(cur, acc)
-                    return 0
-
-                jax.lax.fori_loop(0, OV, ov_body, 0)
+            scan = _seg_scan_rows(x, flags, PR, reduce)
+            # keep group-END totals only: a group's last row is followed
+            # (in its lane) by the next segment's start flag; the last row
+            # of the block always ends a segment. Trash/interior slots
+            # become the identity so unused layer slots add nothing.
+            row_iota = jax.lax.broadcasted_iota(jnp.int32, (PR, LANES), 0)
+            nxt = pltpu.roll(flags, PR - 1, axis=0)  # flags[r+1]
+            is_end = jnp.where(row_iota == PR - 1, 1.0, nxt)
+            real = ((hi_ref[:] >> 6) & 1).astype(jnp.float32)
+            masked = jnp.where((is_end > 0) & (real > 0), scan, IDENT)
+            z = _apply_benes_block(masked, lo3_ref[:], hi3_ref[:], PR)
+            acc = z[0:BR, :]
+            for k in range(1, LAYERS):
+                acc = merge(acc, z[k * BR : (k + 1) * BR, :])
+            o_ref[:] = merge(o_ref[:], acc)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=7,
+        num_scalar_prefetch=5,
         grid=(layout.n_parts,),
         in_specs=[
             pl.BlockSpec(
                 (PR, LANES), lambda t, *p: (t, 0), memory_space=pltpu.VMEM
             ),
-            pl.BlockSpec(
-                (PR, LANES), lambda t, *p: (p[0][t], 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (PR, LANES), lambda t, *p: (p[0][t], 0), memory_space=pltpu.VMEM
-            ),
         ]
         + [
             pl.BlockSpec(
-                (BR + 8, LANES),
-                (lambda g: lambda t, *p: (p[1][t * G + g], 0))(g),
-                memory_space=pltpu.VMEM,
+                (PR, LANES), lambda t, *p: (p[0][t], 0), memory_space=pltpu.VMEM
             )
-            for g in range(G)
-        ],
+        ]
+        * 4,
         out_specs=pl.BlockSpec(
-            (BR, LANES), lambda t, *p: (p[2][t], 0), memory_space=pltpu.VMEM
+            (BR, LANES), lambda t, *p: (p[1][t], 0), memory_space=pltpu.VMEM
         ),
-        scratch_shapes=[pltpu.VMEM((PR, LANES), jnp.float32)],
     )
     return pl.pallas_call(
         kern,
@@ -1037,16 +983,15 @@ def _sort_reduce_call(
         interpret=interpret,
     )(
         layout.route_blk,
-        ext_idx,
         layout.bin_of_part,
         layout.first_flag,
         layout.mode,
         layout.simple_pos,
-        rot_g,
         pblocks,
         layout.route2_lo,
         layout.route2_hi,
-        *([layout.ext] * G),
+        layout.route3_lo,
+        layout.route3_hi,
     )
 
 
@@ -1062,19 +1007,13 @@ def sorted_spmv(
     dst has no in-edges — the min-plus (tropical) sweep of SSSP relaxation;
     requires a layout built with pad_weight=+inf (variant="min").
     x: (num_vertices,) f32."""
-    ext_idx, rot_g, rounds_static = _ext_meta(layout)
-    return _sorted_spmv_jit(
-        layout, x, ext_idx, rot_g, rounds_static, interpret, reduce
-    )
+    return _sorted_spmv_jit(layout, x, interpret, reduce)
 
 
-@partial(jax.jit, static_argnames=("rounds_static", "interpret", "reduce"))
+@partial(jax.jit, static_argnames=("interpret", "reduce"))
 def _sorted_spmv_jit(
     layout: SortedLayout,
     x: jax.Array,
-    ext_idx,
-    rot_g,
-    rounds_static: int,
     interpret: bool = False,
     reduce: str = "sum",
 ):
@@ -1091,46 +1030,9 @@ def _sorted_spmv_jit(
     vals = _expand_call(layout, table, interpret, reduce)
     binned = _slab_benes_call(layout, vals, interpret)
     pblocks = _assemble_call(layout, binned, interpret)
-    y = _sort_reduce_call(
-        layout, pblocks, ext_idx, rot_g, rounds_static, interpret, reduce
-    )
+    y = _sort_reduce_call(layout, pblocks, interpret, reduce)
     return y.reshape(-1)[: layout.num_vertices]
 
-
-def _ext_meta(layout: SortedLayout):
-    """Per-(part, round) ext block indices and packed extract windows.
-
-    Host-side derivation from the layout (cached on the layout via id)."""
-    key = id(layout.ext)
-    hit = _EXT_META_CACHE.get(key)
-    if hit is not None and hit[0] is layout.ext:
-        return hit[1]
-    BR = layout.cfg.bin_rows
-    OV = BR // 8
-    n_parts = layout.n_parts
-    n_rounds = np.asarray(layout.n_rounds)
-    ext_blk = np.asarray(layout.ext_blk)
-    ext_np = np.asarray(layout.ext)
-    g_static = max(int(n_rounds.max(initial=1)), 1)
-    rot_np = np.asarray(layout.rot)
-    mr = layout.cfg.max_rounds
-    ext_idx = np.zeros(n_parts * g_static, np.int32)
-    rot_g = np.zeros(n_parts * g_static, np.int32)
-    for pid in range(n_parts):
-        for g in range(g_static):
-            if g < n_rounds[pid]:
-                eb = ext_blk[pid] + g
-                ext_idx[pid * g_static + g] = eb
-                rot_g[pid * g_static + g] = rot_np[pid * mr + g]
-            # else: dummy block 0, window [0,0) -> no work
-    out = (jnp.asarray(ext_idx), jnp.asarray(rot_g), g_static)
-    if len(_EXT_META_CACHE) > 8:
-        _EXT_META_CACHE.clear()
-    _EXT_META_CACHE[key] = (layout.ext, out)
-    return out
-
-
-_EXT_META_CACHE: dict = {}
 
 
 def sorted_spmm(layout: SortedLayout, feats: jax.Array) -> jax.Array:
@@ -1139,12 +1041,11 @@ def sorted_spmm(layout: SortedLayout, feats: jax.Array) -> jax.Array:
     Runs the scalar pipeline once per feature column via lax.map (one
     compile, F sequential passes). Each pass is bandwidth-shaped, so this
     is ~F x the SpMV cost — still orders of magnitude ahead of the XLA
-    row-gather/segment path (0.009 Grow/s measured). A fused MXU variant
-    (one-hot placement amortized over F) is the next optimization."""
-    ext_idx, rot_g, rounds_static = _ext_meta(layout)
+    row-gather/segment path (0.009 Grow/s measured). Small graphs take the
+    dense MXU path instead (prims/dense_spmm.py)."""
 
     def one(col):
-        return _sorted_spmv_jit(layout, col, ext_idx, rot_g, rounds_static)
+        return _sorted_spmv_jit(layout, col)
 
     cols = jnp.swapaxes(feats, 0, 1)  # (F, V)
     out = jax.lax.map(one, cols)
@@ -1182,6 +1083,7 @@ def _layout_cache_key(dsts, srcs, weights, num_vertices, cfg, pad_weight=0.0) ->
     import hashlib
 
     h = hashlib.blake2b(digest_size=16)
+    h.update(b"layout-v4")  # builder version: bump to invalidate the cache
     h.update(np.int64(num_vertices).tobytes())
     h.update(np.float32(pad_weight).tobytes())
     h.update(repr(dataclasses.astuple(cfg)).encode())

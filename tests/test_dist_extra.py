@@ -484,3 +484,42 @@ def test_mg_extract_bfs_paths_on_device():
         assert row[0] == 7 and row[-1] == t and len(row) == d_np[t] + 1
         for a, b in zip(row[:-1], row[1:]):
             assert (int(a), int(b)) in edges
+
+
+def test_mg_louvain_full_dendrogram_on_mesh(mesh):
+    """Distributed dendrogram: a planted 4-community graph contracts at
+    least once on the mesh and recovers the communities; Q matches an SG
+    recomputation and is at least as good as SG louvain's."""
+    import cugraph_tpu as cg
+    from cugraph_tpu.dist import mg_community
+    from cugraph_tpu.dist.mg_graph import distribute_graph
+
+    rng = np.random.default_rng(4)
+    v, k = 160, 4
+    block = v // k
+    src_l, dst_l = [], []
+    for a in range(v):
+        for b in rng.integers(0, v, 8):
+            same = a // block == b // block
+            if (same and rng.random() < 0.9) or (not same and rng.random() < 0.05):
+                src_l.append(a)
+                dst_l.append(int(b))
+    src = np.array(src_l)
+    dst = np.array(dst_l)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    g = cg.from_edgelist(src, dst, symmetrize=True)
+    mgg = distribute_graph(mesh, g)
+    labels, q = mg_community.mg_louvain(mesh, mgg)
+    q_check = cg.modularity(g, labels)
+    np.testing.assert_allclose(q_check, q, rtol=1e-5)
+    labels_sg, q_sg = cg.louvain(g)
+    assert q >= q_sg - 0.02
+    # communities align with the plant: most vertices share their block's
+    # majority label
+    lab = np.asarray(labels)
+    agree = 0
+    for blk in range(k):
+        seg = lab[blk * block : (blk + 1) * block]
+        agree += (seg == np.bincount(seg).argmax()).sum()
+    assert agree / v > 0.9
