@@ -40,7 +40,17 @@ from jax import shard_map
 from ..utils.dtypes import NP_VERTEX_DTYPE, NP_WEIGHT_DTYPE, WEIGHT_DTYPE
 from ..utils.error import expects
 from . import mg_prims
-from .mg_algos import BLOCK, VERT, _edge_args, _graph_args, _local_ids, _pvary, _split_args, _wrap
+from .mg_algos import (
+    BLK3,
+    BLOCK,
+    VERT,
+    _edge_args,
+    _graph_args,
+    _local_ids,
+    _pvary,
+    _split_args,
+    _wrap,
+)
 from .mg_graph import MGGraph, unshard_vertex_values
 
 
