@@ -995,6 +995,221 @@ def _sort_reduce_call(layout, pblocks, interpret, reduce="sum"):
     )
 
 
+# ---------------------------------------------------------------------------
+# Paired-bf16 variants: two feature columns packed into one f32 word ride
+# the SAME Benes routing — per-stage roll/select moves both features at
+# once, halving the per-feature VPU cost of the (VPU-bound) pipeline. The
+# values are bf16-rounded at expand and again when the group totals are
+# re-packed for the placement Benes; segmented scans run unpacked in f32.
+# ---------------------------------------------------------------------------
+
+
+def _pack_pair(a, b):
+    """Round-to-nearest-bf16 both halves, pack as (a_hi16 | b_hi16>>16)."""
+    ua = jax.lax.bitcast_convert_type(a, jnp.uint32)
+    ub = jax.lax.bitcast_convert_type(b, jnp.uint32)
+    ua = (ua + 0x8000) & jnp.uint32(0xFFFF0000)
+    ub = (ub + 0x8000) >> 16
+    return jax.lax.bitcast_convert_type(ua | ub, jnp.float32)
+
+
+def _unpack_pair(p):
+    u = jax.lax.bitcast_convert_type(p, jnp.uint32)
+    a = jax.lax.bitcast_convert_type(u & jnp.uint32(0xFFFF0000), jnp.float32)
+    b = jax.lax.bitcast_convert_type(u << 16, jnp.float32)
+    return a, b
+
+
+def _expand_pair_call(layout, table, interpret):
+    """K-A on a packed table: 8-way select copies packed words; the weight
+    multiply unpacks, scales both halves, re-rounds. Padding (w == 0)
+    packs back to +0.0 which is the sum identity for both halves."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    TA = min(512, layout.cfg.slab_rows)
+    TV = TA // 8
+    slot_rows = layout.idx.shape[0]
+
+    def kern(prow_ref, x_ref, idx_ref, w_ref, o_ref):
+        i = pl.program_id(0)
+
+        def body(v, _):
+            pr = prow_ref[i * TV + v]
+            page = x_ref[pl.ds(pr, 8), :]
+            idxv = idx_ref[pl.ds(v * 8, 8), :]
+            vals = jnp.zeros((8, LANES), jnp.float32)
+            for r in range(8):
+                vals = vals + jnp.where(idxv == r, page[r][None, :], 0.0)
+            wv = w_ref[pl.ds(v * 8, 8), :]
+            a, b = _unpack_pair(vals)
+            o_ref[pl.ds(v * 8, 8), :] = _pack_pair(a * wv, b * wv)
+            return 0
+
+        jax.lax.fori_loop(0, TV, body, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(slot_rows // TA,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((TA, LANES), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TA, LANES), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (TA, LANES), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
+        ),
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((slot_rows, LANES), jnp.float32),
+        interpret=interpret,
+    )(layout.prow, table, layout.idx, layout.w)
+
+
+def _sort_reduce_pair_call(layout, pblocks, interpret):
+    """K-C2 on packed pairs: one Benes to sorted order (packed), two f32
+    segmented scans, group-end totals re-packed for one placement Benes,
+    unpacked layer merges into two f32 outputs."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    PR = layout.cfg.part_rows
+    BR = layout.cfg.bin_rows
+    LAYERS = PR // BR
+
+    def kern(
+        rb_ref, bp_ref, ff_ref, md_ref, sp_ref,
+        v_ref, lo_ref, hi_ref, lo3_ref, hi3_ref, oa_ref, ob_ref,
+    ):
+        t = pl.program_id(0)
+
+        @pl.when(ff_ref[t] == 1)
+        def _():
+            oa_ref[:] = jnp.zeros_like(oa_ref)
+            ob_ref[:] = jnp.zeros_like(ob_ref)
+
+        lane_iota = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 1)
+
+        @pl.when(md_ref[t] == 1)
+        def _():
+            mask = pltpu.bitcast(lo_ref[:], jnp.float32)
+            a, b = _unpack_pair(v_ref[:])
+            ta = jnp.sum(jnp.where(mask > 0, a, 0.0))
+            tb = jnp.sum(jnp.where(mask > 0, b, 0.0))
+            spos = sp_ref[t]
+            r = spos // LANES
+            sub = r % 8
+            row_iota8 = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 0)
+            sel = (lane_iota == spos % LANES) & (row_iota8 == sub)
+            base = pl.multiple_of((r // 8) * 8, 8)
+            oa_ref[pl.ds(base, 8), :] = oa_ref[pl.ds(base, 8), :] + jnp.where(
+                sel, ta, 0.0
+            )
+            ob_ref[pl.ds(base, 8), :] = ob_ref[pl.ds(base, 8), :] + jnp.where(
+                sel, tb, 0.0
+            )
+
+        @pl.when(md_ref[t] == 0)
+        def _():
+            x = _apply_benes_block(v_ref[:], lo_ref[:], hi_ref[:], PR)
+            flags = ((hi_ref[:] >> 5) & 1).astype(jnp.float32)
+            a, b = _unpack_pair(x)
+            sa = _seg_scan_rows(a, flags, PR, "sum")
+            sb = _seg_scan_rows(b, flags, PR, "sum")
+            row_iota = jax.lax.broadcasted_iota(jnp.int32, (PR, LANES), 0)
+            nxt = pltpu.roll(flags, PR - 1, axis=0)
+            is_end = jnp.where(row_iota == PR - 1, 1.0, nxt)
+            real = ((hi_ref[:] >> 6) & 1).astype(jnp.float32)
+            keep = (is_end > 0) & (real > 0)
+            packed = _pack_pair(
+                jnp.where(keep, sa, 0.0), jnp.where(keep, sb, 0.0)
+            )
+            z = _apply_benes_block(packed, lo3_ref[:], hi3_ref[:], PR)
+            za, zb = _unpack_pair(z)
+            acc_a = za[0:BR, :]
+            acc_b = zb[0:BR, :]
+            for k in range(1, LAYERS):
+                acc_a = acc_a + za[k * BR : (k + 1) * BR, :]
+                acc_b = acc_b + zb[k * BR : (k + 1) * BR, :]
+            oa_ref[:] = oa_ref[:] + acc_a
+            ob_ref[:] = ob_ref[:] + acc_b
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(layout.n_parts,),
+        in_specs=[
+            pl.BlockSpec(
+                (PR, LANES), lambda t, *p: (t, 0), memory_space=pltpu.VMEM
+            ),
+        ]
+        + [
+            pl.BlockSpec(
+                (PR, LANES), lambda t, *p: (p[0][t], 0), memory_space=pltpu.VMEM
+            )
+        ]
+        * 4,
+        out_specs=tuple(
+            pl.BlockSpec(
+                (BR, LANES), lambda t, *p: (p[1][t], 0), memory_space=pltpu.VMEM
+            )
+            for _ in range(2)
+        ),
+    )
+    out = jax.ShapeDtypeStruct((layout.n_bins * BR, LANES), jnp.float32)
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=(out, out),
+        compiler_params=None
+        if interpret
+        else __import__(
+            "jax.experimental.pallas.tpu", fromlist=["x"]
+        ).CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(
+        layout.route_blk,
+        layout.bin_of_part,
+        layout.first_flag,
+        layout.mode,
+        layout.simple_pos,
+        pblocks,
+        layout.route2_lo,
+        layout.route2_hi,
+        layout.route3_lo,
+        layout.route3_hi,
+    )
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def _sorted_spmv_pair_jit(
+    layout: SortedLayout,
+    xa: jax.Array,
+    xb: jax.Array,
+    interpret: bool = False,
+):
+    """Two columns through one pipeline pass (packed bf16 pair)."""
+    xr = layout.x_rows
+    n_hub = layout.hub_ids.shape[0]
+    trows = -(-(xr + n_hub) // 8) * 8
+    v = layout.num_vertices
+    pa = jnp.zeros(xr * LANES, jnp.float32).at[:v].set(xa)
+    pb = jnp.zeros(xr * LANES, jnp.float32).at[:v].set(xb)
+    packed = _pack_pair(pa, pb)
+    hub_vals = jnp.take(packed, layout.hub_ids)
+    table = jnp.zeros((trows, LANES), jnp.float32)
+    table = table.at[:xr].set(packed.reshape(xr, LANES))
+    table = table.at[xr : xr + n_hub].set(
+        jnp.broadcast_to(hub_vals[:, None], (n_hub, LANES))
+    )
+    vals = _expand_pair_call(layout, table, interpret)
+    binned = _slab_benes_call(layout, vals, interpret)
+    pblocks = _assemble_call(layout, binned, interpret)
+    ya, yb = _sort_reduce_pair_call(layout, pblocks, interpret)
+    return ya.reshape(-1)[:v], yb.reshape(-1)[:v]
+
+
 def sorted_spmv(
     layout: SortedLayout,
     x: jax.Array,
@@ -1035,20 +1250,45 @@ def _sorted_spmv_jit(
 
 
 
-def sorted_spmm(layout: SortedLayout, feats: jax.Array) -> jax.Array:
+def sorted_spmm(
+    layout: SortedLayout,
+    feats: jax.Array,
+    *,
+    precision: str = "bf16_pair",
+    interpret: bool = False,
+) -> jax.Array:
     """Feature-matrix aggregation: out[dst, :] = sum_e w * feats[src, :].
 
-    Runs the scalar pipeline once per feature column via lax.map (one
-    compile, F sequential passes). Each pass is bandwidth-shaped, so this
-    is ~F x the SpMV cost — still orders of magnitude ahead of the XLA
+    precision="bf16_pair" (default): two columns packed per f32 word ride
+    one pipeline pass (ceil(F/2) passes, ~2x the f32 path); inputs and the
+    per-group totals are bf16-rounded, the segmented adds are f32 — the
+    usual mixed-precision aggregation contract of GNN training.
+    precision="f32": one exact pass per column (F passes via lax.map).
+    The pipeline is VPU-bound (Benes roll/select stages), so pass count is
+    the cost model; both are orders of magnitude ahead of the XLA
     row-gather/segment path (0.009 Grow/s measured). Small graphs take the
     dense MXU path instead (prims/dense_spmm.py)."""
-
-    def one(col):
-        return _sorted_spmv_jit(layout, col)
-
+    f = feats.shape[1]
     cols = jnp.swapaxes(feats, 0, 1)  # (F, V)
-    out = jax.lax.map(one, cols)
+    if precision == "f32" or f == 1:
+
+        def one(col):
+            return _sorted_spmv_jit(layout, col, interpret)
+
+        out = jax.lax.map(one, cols)
+        return jnp.swapaxes(out, 0, 1)
+
+    npair = (f + 1) // 2
+    if f % 2:
+        cols = jnp.concatenate([cols, jnp.zeros_like(cols[:1])], axis=0)
+    pairs = cols.reshape(npair, 2, -1)
+
+    def one_pair(pr):
+        ya, yb = _sorted_spmv_pair_jit(layout, pr[0], pr[1], interpret)
+        return jnp.stack([ya, yb])
+
+    out = jax.lax.map(one_pair, pairs)  # (npair, 2, V)
+    out = out.reshape(npair * 2, -1)[:f]
     return jnp.swapaxes(out, 0, 1)
 
 

@@ -294,3 +294,41 @@ def test_sorted_spmv_mid_heavy_multichunk():
     layout = build_sorted_layout(dst, src, w, v, TINY)
     y = np.asarray(sorted_spmv(layout, jnp.asarray(x), interpret=True))
     np.testing.assert_allclose(y, oracle, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("f", [1, 2, 7, 8])
+def test_sorted_spmm_pairs_matches_oracle(f):
+    """Paired-bf16 SpMM: two columns per pass through shared routing;
+    bf16-rounded at expand and total placement, f32 segmented adds."""
+    from cugraph_tpu.prims.pallas.spmv2 import sorted_spmm
+
+    rng = np.random.default_rng(100 + f)
+    v, e = 700, 4000
+    src, dst, w = _random_graph(rng, v, e, hubby=True)
+    feats = rng.random((v, f)).astype(np.float32)
+    oracle = np.zeros((v, f), np.float64)
+    np.add.at(oracle, dst, w[:, None].astype(np.float64) * feats[src])
+    layout = build_sorted_layout(dst, src, w, v, TINY)
+    out = np.asarray(
+        sorted_spmm(layout, jnp.asarray(feats), interpret=True)
+    )
+    # bf16 rounding at two points: inputs and group totals
+    np.testing.assert_allclose(out, oracle, rtol=2e-2, atol=2e-2)
+    exact = np.asarray(
+        sorted_spmm(layout, jnp.asarray(feats), precision="f32", interpret=True)
+    )
+    np.testing.assert_allclose(exact, oracle, rtol=1e-4, atol=1e-4)
+
+
+def test_pack_unpack_pair_roundtrip():
+    from cugraph_tpu.prims.pallas.spmv2 import _pack_pair, _unpack_pair
+
+    rng = np.random.default_rng(3)
+    a = jnp.asarray(rng.normal(size=256).astype(np.float32) * 100)
+    b = jnp.asarray(rng.normal(size=256).astype(np.float32) * 1e-3)
+    pa, pb = _unpack_pair(_pack_pair(a, b))
+    np.testing.assert_allclose(np.asarray(pa), np.asarray(a), rtol=4e-3)
+    np.testing.assert_allclose(np.asarray(pb), np.asarray(b), rtol=4e-3)
+    # zero stays exactly zero (sum identity for padding slots)
+    z = _pack_pair(jnp.zeros(8), jnp.zeros(8))
+    assert (np.asarray(z) == 0).all()
