@@ -27,6 +27,9 @@ def build_graph(scale: int, edgefactor: int):
     import os
 
     import cugraph_tpu as cg
+    from cugraph_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     from cugraph_tpu.core import serialize as ser
 
     num_edges = (2**scale) * edgefactor
@@ -116,10 +119,21 @@ def main():
     ap.add_argument("--edgefactor", type=int, default=16)
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--full", action="store_true")
+    ap.add_argument(
+        "--profile",
+        metavar="DIR",
+        default=None,
+        help="capture a jax.profiler trace of one timed pagerank run",
+    )
     args = ap.parse_args()
 
     g, num_edges = build_graph(args.scale, args.edgefactor)
     eps, t = bench_pagerank(g, num_edges, iters=args.iters)
+    if args.profile:
+        from cugraph_tpu.utils.timer import profiler_trace
+
+        with profiler_trace(args.profile):
+            bench_pagerank(g, num_edges, iters=args.iters, reps=1)
     if args.full:
         bfs_eps, bfs_t = bench_bfs(g, num_edges)
         spmm_eps, spmm_t = bench_spmm(g, num_edges)

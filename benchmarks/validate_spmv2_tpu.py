@@ -25,6 +25,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from cugraph_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from cugraph_tpu.prims.pallas.spmv2 import (
         _sorted_spmv_jit,
         sorted_layout_for,
