@@ -103,7 +103,9 @@ def bench_spmm(g, num_edges, feat_dim: int = 128, reps: int = 3):
     feats = jnp.asarray(
         np.random.default_rng(0).normal(size=(g.num_vertices, feat_dim)).astype(np.float32)
     )
-    fn = jax.jit(lambda f: spmm_aggregate(g, f, op="mean"))
+    # NO outer jit wrapper: it would bake the graph + sorted layout in as
+    # compile-payload constants (the inner paths jit with them as args)
+    fn = lambda f: spmm_aggregate(g, f, op="mean")
     jax.block_until_ready(fn(feats))
     best = float("inf")
     for _ in range(reps):

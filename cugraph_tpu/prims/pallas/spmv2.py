@@ -1250,6 +1250,7 @@ def _sorted_spmv_jit(
 
 
 
+@partial(jax.jit, static_argnames=("precision", "interpret"))
 def sorted_spmm(
     layout: SortedLayout,
     feats: jax.Array,
