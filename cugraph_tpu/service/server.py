@@ -43,6 +43,8 @@ class CugraphHandler:
         self._graphs: Dict[int, PropertyGraph] = {DEFAULT_GRAPH_ID: PropertyGraph()}
         self._next_id = 1
         self._extensions: Dict[str, Any] = {}
+        # graph_id -> (mesh, MGGraph, api Graph) for mesh-backed graphs
+        self._dist: Dict[int, Any] = {}
 
     # ---- server info -----------------------------------------------------
     def get_server_info(self) -> Dict[str, Any]:
@@ -214,13 +216,82 @@ class CugraphHandler:
             offsets.append(len(srcs))
         return {"srcs": srcs, "dsts": dsts, "seed_offsets": offsets}
 
+    def distribute_graph(
+        self,
+        graph_id: int = DEFAULT_GRAPH_ID,
+        mesh_shape: Optional[List[int]] = None,
+    ) -> Dict[str, Any]:
+        """Back graph_id with a 2D device mesh: subsequent algorithm calls
+        on it run the distributed (MG) implementations. The TPU analog of
+        the reference service's dask/MG-backed property graphs
+        (cugraph_handler.py is_multi_gpu paths)."""
+        import jax
+
+        from ..dist import make_mesh, mesh_shape_for
+        from ..dist.mg_graph import distribute_graph as _dist
+
+        g = self._algo_graph(graph_id)
+        shape = (
+            tuple(mesh_shape)
+            if mesh_shape is not None
+            else mesh_shape_for(len(jax.devices()))
+        )
+        mesh = make_mesh(shape)
+        mgg = _dist(mesh, g.core)
+        self._dist[graph_id] = (mesh, mgg, g)
+        return {"mesh_shape": list(shape), "num_devices": int(np.prod(shape))}
+
     def pagerank(self, graph_id: int = DEFAULT_GRAPH_ID, **kwargs) -> Dict[str, List]:
         from ..api import algorithms as capi
 
+        if graph_id in self._dist:
+            mesh, mgg, g = self._dist[graph_id]
+            from ..dist.mg_algos import mg_pagerank
+            from ..dist.mg_graph import unshard_vertex_values
+
+            kwargs.setdefault("tol", 1.0e-5)
+            if "max_iter" in kwargs:
+                kwargs["max_iterations"] = kwargs.pop("max_iter")
+            scores_sh, _ = mg_pagerank(mesh, mgg, **kwargs)
+            scores = unshard_vertex_values(mgg, scores_sh)
+            return {
+                "vertex": g.vertex_ids_external().tolist(),
+                "pagerank": np.asarray(scores).tolist(),
+            }
         df = capi.pagerank(self._algo_graph(graph_id), **kwargs)
         return {
             "vertex": df["vertex"].tolist(),
             "pagerank": df["pagerank"].tolist(),
+        }
+
+    def bfs(
+        self, start, graph_id: int = DEFAULT_GRAPH_ID, **kwargs
+    ) -> Dict[str, List]:
+        from ..api import algorithms as capi
+
+        if graph_id in self._dist:
+            mesh, mgg, g = self._dist[graph_id]
+            from ..dist.mg_algos import mg_bfs
+            from ..dist.mg_graph import unshard_vertex_values
+
+            start_i = int(g.to_internal(np.asarray([start]))[0])
+            dist_sh, pred_sh = mg_bfs(mesh, mgg, start_i, **kwargs)
+            dist = unshard_vertex_values(mgg, dist_sh)
+            pred_i = unshard_vertex_values(mgg, pred_sh)
+            ext = g.vertex_ids_external()
+            pred = np.where(
+                pred_i >= 0, np.asarray(ext)[np.maximum(pred_i, 0)], -1
+            )
+            return {
+                "vertex": np.asarray(ext).tolist(),
+                "distance": np.asarray(dist).tolist(),
+                "predecessor": np.asarray(pred).tolist(),
+            }
+        df = capi.bfs(self._algo_graph(graph_id), start, **kwargs)
+        return {
+            "vertex": df["vertex"].tolist(),
+            "distance": df["distance"].tolist(),
+            "predecessor": df["predecessor"].tolist(),
         }
 
     # ---- extensions (ref: cugraph_handler.py:161) ------------------------

@@ -88,3 +88,22 @@ def test_e2e_http(edge_csv):
             client.get_graph_info(12345)
     finally:
         server.stop()
+
+
+def test_handler_mg_backed_graph(edge_csv):
+    """MG-backed service graph: distribute over the device mesh, then
+    pagerank/bfs route through the distributed implementations and match
+    the SG handler results (ref: cugraph-service is_multi_gpu paths)."""
+    h = CugraphHandler()
+    h.load_csv_as_edge_data(edge_csv, vertex_col_names=["src", "dst"])
+    sg_pr = h.pagerank(tol=1e-8)
+    sg_bfs = h.bfs(0)
+
+    info = h.distribute_graph(mesh_shape=[2, 4])
+    assert info["mesh_shape"] == [2, 4]
+    mg_pr = h.pagerank(tol=1e-8)
+    assert mg_pr["vertex"] == sg_pr["vertex"]
+    np.testing.assert_allclose(mg_pr["pagerank"], sg_pr["pagerank"], atol=1e-5)
+    mg_bfs = h.bfs(0)
+    assert mg_bfs["vertex"] == sg_bfs["vertex"]
+    assert mg_bfs["distance"] == sg_bfs["distance"]
