@@ -43,7 +43,7 @@ def _bfs_pallas_jit(g: Graph, src_mask, depth_limit: int, lay):
     ride f32 exactly (V <= 2^24 enforced by the caller). The TPU answer to
     the reference's direction-optimizing pull intent (bfs_impl.cuh:206,
     unimplemented there)."""
-    from ..prims.pallas.spmv2 import _sorted_spmv_jit
+    from ..prims.pallas.spmv2 import sorted_spmv_dispatch
 
     v = g.num_vertices
     INF = jnp.float32(jnp.inf)
@@ -58,7 +58,7 @@ def _bfs_pallas_jit(g: Graph, src_mask, depth_limit: int, lay):
     def body(state):
         visited, dist, pred, frontier, depth = state
         x = jnp.where(frontier, ids, INF)
-        y = _sorted_spmv_jit(lay, x, reduce="min")
+        y = sorted_spmv_dispatch(lay, x, reduce="min")
         new = jnp.isfinite(y) & ~visited
         dist = jnp.where(new, depth + 1, dist)
         pred = jnp.where(new, y.astype(jnp.int32), pred)
@@ -188,7 +188,7 @@ def _sssp_pallas_jit(g: Graph, src_mask, cutoff, lay):
     relaxations; converges in hop-diameter rounds), then one edge post-pass
     for predecessors. The pipeline and the post-pass round identically in
     f32, so the tree predicate dist[u] + w == dist[v] is exact."""
-    from ..prims.pallas.spmv2 import _sorted_spmv_jit
+    from ..prims.pallas.spmv2 import sorted_spmv_dispatch
 
     v = g.num_vertices
     inf = jnp.float32(jnp.inf)
@@ -200,7 +200,7 @@ def _sssp_pallas_jit(g: Graph, src_mask, cutoff, lay):
 
     def body(state):
         dist, _, it = state
-        relax = _sorted_spmv_jit(lay, dist, reduce="min")
+        relax = sorted_spmv_dispatch(lay, dist, reduce="min")
         relax = jnp.where(relax <= cutoff, relax, inf)
         nd = jnp.minimum(dist, relax)
         return nd, jnp.any(nd < dist), it + 1

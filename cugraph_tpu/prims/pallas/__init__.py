@@ -37,9 +37,9 @@ def pull_aggregate(kind: Optional[str], layout, g, msg):
     """out[v] = sum over incoming edges (u -> v) of w_uv * msg[u], routed
     through the chosen engine (call inside jit; kind is trace-static)."""
     if kind == "sorted":
-        from .spmv2 import _sorted_spmv_jit
+        from .spmv2 import sorted_spmv_dispatch
 
-        return _sorted_spmv_jit(layout, msg)
+        return sorted_spmv_dispatch(layout, msg)
     if kind == "v1":
         from .spmv import pull_spmv
 

@@ -100,7 +100,31 @@ class SortedLayout:
     n_parts: int = dataclasses.field(metadata=dict(static=True))
     n_bins: int = dataclasses.field(metadata=dict(static=True))
     n_steps: int = dataclasses.field(metadata=dict(static=True))
-    x_rows: int = dataclasses.field(metadata=dict(static=True))  # V table rows
+    x_rows: int = dataclasses.field(metadata=dict(static=True))  # src table rows
+    num_vertices: int = dataclasses.field(metadata=dict(static=True))
+    num_edges: int = dataclasses.field(metadata=dict(static=True))
+    # src-range width when this layout covers only a slice of the sources
+    # (multi-range pipelines for V past the VMEM table budget); 0 = all V
+    num_src: int = dataclasses.field(default=0, metadata=dict(static=True))
+
+    @property
+    def src_count(self) -> int:
+        return self.num_src or self.num_vertices
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class MultiSortedLayout:
+    """Column-split pipeline: sources partitioned into `span`-wide ranges,
+    one SortedLayout per non-empty range; y = combine_k pipeline_k(x_k).
+    Each range's x table fits the VMEM budget, so the pipeline serves
+    graphs far past the single-table vertex cap (e.g. RMAT scale 23-24).
+    The TPU analog of the reference's multi-partition edge storage on one
+    rank (graph_view edge partitions, graph_view.hpp:588)."""
+
+    parts: tuple  # of SortedLayout (pytree children)
+    range_of: tuple = dataclasses.field(metadata=dict(static=True))  # int per part
+    span: int = dataclasses.field(metadata=dict(static=True))
     num_vertices: int = dataclasses.field(metadata=dict(static=True))
     num_edges: int = dataclasses.field(metadata=dict(static=True))
 
@@ -128,10 +152,13 @@ def build_sorted_layout(
     num_vertices: int,
     cfg: Spmv2Config = Spmv2Config(),
     pad_weight: float = 0.0,
+    num_src_vertices: Optional[int] = None,
 ) -> SortedLayout:
     """pad_weight: weight stored in padding slots. 0 for the sum pipeline
     (identity through vals*w); +inf for the min-plus pipeline (identity
-    through vals+w under min)."""
+    through vals+w under min). num_src_vertices: width of the source id
+    space when this layout covers one src range of a multi-range pipeline
+    (x table sized by it; dst bins still span num_vertices)."""
     e = len(dsts)
     dsts = np.asarray(dsts, dtype=np.int64)
     srcs = np.asarray(srcs, dtype=np.int64)
@@ -141,16 +168,17 @@ def build_sorted_layout(
         else np.asarray(weights, dtype=np.float32)
     )
     v = int(num_vertices)
+    vs = int(num_src_vertices) if num_src_vertices is not None else v
     SR, PR, BR, CH = cfg.slab_rows, cfg.part_rows, cfg.bin_rows, cfg.chunk_rows
     assert BR % 8 == 0, "bin_rows must be a multiple of 8 (out vregs)"
     slab_e = SR * LANES
     part_e = PR * LANES
     bin_dsts = BR * LANES
-    x_rows = max(-(-v // LANES), 8)
+    x_rows = max(-(-vs // LANES), 8)
 
     _T("stage0")
     # ---- K-A: slot assignment -------------------------------------------
-    out_cnt = np.bincount(srcs, minlength=v)
+    out_cnt = np.bincount(srcs, minlength=vs)
     hub_mask_v = out_cnt >= cfg.hub_deg
     hub_ids = np.nonzero(hub_mask_v)[0].astype(np.int64)
     hub_row_of = {int(s): x_rows + i for i, s in enumerate(hub_ids)}
@@ -697,6 +725,7 @@ def build_sorted_layout(
         x_rows=x_rows,
         num_vertices=v,
         num_edges=e,
+        num_src=vs,
     )
 
 
@@ -1194,8 +1223,9 @@ def _sorted_spmv_pair_jit(
     n_hub = layout.hub_ids.shape[0]
     trows = -(-(xr + n_hub) // 8) * 8
     v = layout.num_vertices
-    pa = jnp.zeros(xr * LANES, jnp.float32).at[:v].set(xa)
-    pb = jnp.zeros(xr * LANES, jnp.float32).at[:v].set(xb)
+    ns = layout.src_count
+    pa = jnp.zeros(xr * LANES, jnp.float32).at[:ns].set(xa)
+    pb = jnp.zeros(xr * LANES, jnp.float32).at[:ns].set(xb)
     packed = _pack_pair(pa, pb)
     hub_vals = jnp.take(packed, layout.hub_ids)
     table = jnp.zeros((trows, LANES), jnp.float32)
@@ -1210,6 +1240,50 @@ def _sorted_spmv_pair_jit(
     return ya.reshape(-1)[:v], yb.reshape(-1)[:v]
 
 
+@partial(jax.jit, static_argnames=("interpret", "reduce"))
+def _sorted_spmv_multi_jit(
+    mlay: "MultiSortedLayout",
+    x: jax.Array,
+    interpret: bool = False,
+    reduce: str = "sum",
+):
+    """Multi-range pipeline: x split into span-wide slices, one pipeline
+    pass per non-empty range, dense outputs combined (sum / min)."""
+    span = mlay.span
+    k_tot = -(-mlay.num_vertices // span)
+    xpad = jnp.zeros(k_tot * span, x.dtype).at[: mlay.num_vertices].set(x)
+    y = None
+    for lay, k in zip(mlay.parts, mlay.range_of):
+        xk = jax.lax.dynamic_slice_in_dim(xpad, k * span, span)
+        yk = _sorted_spmv_jit(lay, xk, interpret, reduce)
+        if y is None:
+            y = yk
+        else:
+            y = y + yk if reduce == "sum" else jnp.minimum(y, yk)
+    return y
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def _sorted_spmv_pair_multi_jit(
+    mlay: "MultiSortedLayout",
+    xa: jax.Array,
+    xb: jax.Array,
+    interpret: bool = False,
+):
+    span = mlay.span
+    k_tot = -(-mlay.num_vertices // span)
+    pa = jnp.zeros(k_tot * span, xa.dtype).at[: mlay.num_vertices].set(xa)
+    pb = jnp.zeros(k_tot * span, xb.dtype).at[: mlay.num_vertices].set(xb)
+    ya = yb = None
+    for lay, k in zip(mlay.parts, mlay.range_of):
+        ak = jax.lax.dynamic_slice_in_dim(pa, k * span, span)
+        bk = jax.lax.dynamic_slice_in_dim(pb, k * span, span)
+        ra, rb = _sorted_spmv_pair_jit(lay, ak, bk, interpret)
+        ya = ra if ya is None else ya + ra
+        yb = rb if yb is None else yb + rb
+    return ya, yb
+
+
 def sorted_spmv(
     layout: SortedLayout,
     x: jax.Array,
@@ -1221,7 +1295,15 @@ def sorted_spmv(
     reduce="min":  y[dst] = min over edges of (x[src] + w), +inf where the
     dst has no in-edges — the min-plus (tropical) sweep of SSSP relaxation;
     requires a layout built with pad_weight=+inf (variant="min").
-    x: (num_vertices,) f32."""
+    x: (num_vertices,) f32. Accepts SortedLayout or MultiSortedLayout."""
+    return sorted_spmv_dispatch(layout, x, interpret, reduce)
+
+
+def sorted_spmv_dispatch(layout, x, interpret=False, reduce="sum"):
+    """Route to the single- or multi-range jit by layout type (pytree
+    structure differs, so enclosing jits retrace per engine)."""
+    if isinstance(layout, MultiSortedLayout):
+        return _sorted_spmv_multi_jit(layout, x, interpret, reduce)
     return _sorted_spmv_jit(layout, x, interpret, reduce)
 
 
@@ -1235,7 +1317,7 @@ def _sorted_spmv_jit(
     xr = layout.x_rows
     n_hub = layout.hub_ids.shape[0]
     trows = -(-(xr + n_hub) // 8) * 8
-    xpad = jnp.zeros(xr * LANES, jnp.float32).at[: layout.num_vertices].set(x)
+    xpad = jnp.zeros(xr * LANES, jnp.float32).at[: layout.src_count].set(x)
     hub_vals = jnp.take(xpad, layout.hub_ids)  # small XLA gather
     table = jnp.zeros((trows, LANES), jnp.float32)
     table = table.at[:xr].set(xpad.reshape(xr, LANES))
@@ -1274,7 +1356,7 @@ def sorted_spmm(
     if precision == "f32" or f == 1:
 
         def one(col):
-            return _sorted_spmv_jit(layout, col, interpret)
+            return sorted_spmv_dispatch(layout, col, interpret)
 
         out = jax.lax.map(one, cols)
         return jnp.swapaxes(out, 0, 1)
@@ -1285,7 +1367,10 @@ def sorted_spmm(
     pairs = cols.reshape(npair, 2, -1)
 
     def one_pair(pr):
-        ya, yb = _sorted_spmv_pair_jit(layout, pr[0], pr[1], interpret)
+        if isinstance(layout, MultiSortedLayout):
+            ya, yb = _sorted_spmv_pair_multi_jit(layout, pr[0], pr[1], interpret)
+        else:
+            ya, yb = _sorted_spmv_pair_jit(layout, pr[0], pr[1], interpret)
         return jnp.stack([ya, yb])
 
     out = jax.lax.map(one_pair, pairs)  # (npair, 2, V)
@@ -1304,7 +1389,7 @@ _SORTED_VMEM_BUDGET = 10 * 1024 * 1024
 
 _STATIC_FIELDS = (
     "n_slabs", "n_parts", "n_bins", "n_steps", "x_rows",
-    "num_vertices", "num_edges",
+    "num_vertices", "num_edges", "num_src",
 )
 
 
@@ -1320,12 +1405,17 @@ def _cache_dir():
     return d
 
 
-def _layout_cache_key(dsts, srcs, weights, num_vertices, cfg, pad_weight=0.0) -> str:
+def _layout_cache_key(
+    dsts, srcs, weights, num_vertices, cfg, pad_weight=0.0,
+    num_src_vertices=None,
+) -> str:
     import hashlib
 
     h = hashlib.blake2b(digest_size=16)
     h.update(b"layout-v4")  # builder version: bump to invalidate the cache
     h.update(np.int64(num_vertices).tobytes())
+    if num_src_vertices is not None:
+        h.update(np.int64(num_src_vertices).tobytes())
     h.update(np.float32(pad_weight).tobytes())
     h.update(repr(dataclasses.astuple(cfg)).encode())
     h.update(np.ascontiguousarray(dsts, dtype=np.int64).tobytes())
@@ -1359,19 +1449,67 @@ def load_sorted_layout(path: str) -> SortedLayout:
         meta = ast.literal_eval(bytes(z["__meta__"]).decode())
         arrays = {k: jnp.asarray(z[k]) for k in z.files if k != "__meta__"}
     cfg = Spmv2Config(*meta.pop("cfg"))
+    meta.setdefault("num_src", 0)  # pre-multi-range cache files
     return SortedLayout(cfg=cfg, **meta, **arrays)
+
+
+# source ids past the single-table budget split into ranges of this width
+# (multiple of 8*LANES so page/lane mapping stays aligned)
+_SRC_RANGE_SPAN = (_SORTED_VMEM_BUDGET // (4 * LANES * 8)) * (LANES * 8)
+# hard vertex cap for the multi-range path (bounds host build time/memory)
+_SORTED_MAX_VERTICES = 1 << 25
 
 
 def sorted_layout_available(num_vertices: int) -> bool:
     if jax.default_backend() not in ("tpu", "axon"):
         return False
+    return num_vertices <= _SORTED_MAX_VERTICES
+
+
+def _needs_src_ranges(num_vertices: int) -> bool:
     r = -(-num_vertices // LANES)
-    return r * LANES * 4 <= _SORTED_VMEM_BUDGET
+    return r * LANES * 4 > _SORTED_VMEM_BUDGET
+
+
+def build_multi_sorted_layout(
+    dsts, srcs, weights, num_vertices,
+    cfg: Optional[Spmv2Config] = None,
+    pad_weight: float = 0.0,
+    span: Optional[int] = None,
+) -> MultiSortedLayout:
+    """Split sources into span-wide ranges and build one sub-layout per
+    non-empty range (each range's x table fits the VMEM budget). Empty
+    ranges are skipped; sub-layouts share the disk cache individually."""
+    span = span or _SRC_RANGE_SPAN
+    srcs = np.asarray(srcs, dtype=np.int64)
+    dsts = np.asarray(dsts, dtype=np.int64)
+    k_tot = max(-(-int(num_vertices) // span), 1)
+    parts, range_of = [], []
+    for k in range(k_tot):
+        m = (srcs >= k * span) & (srcs < (k + 1) * span)
+        if not m.any():
+            continue
+        wk = None if weights is None else np.asarray(weights)[m]
+        parts.append(
+            build_sorted_layout_auto(
+                dsts[m], srcs[m] - k * span, wk, num_vertices, cfg,
+                pad_weight=pad_weight, num_src_vertices=span,
+            )
+        )
+        range_of.append(k)
+    return MultiSortedLayout(
+        parts=tuple(parts),
+        range_of=tuple(range_of),
+        span=span,
+        num_vertices=int(num_vertices),
+        num_edges=int(len(dsts)),
+    )
 
 
 def build_sorted_layout_auto(
     dsts, srcs, weights, num_vertices, cfg: Optional[Spmv2Config] = None,
     pad_weight: float = 0.0,
+    num_src_vertices: Optional[int] = None,
 ) -> SortedLayout:
     """build_sorted_layout with an auto-retry ladder: on round/balance
     overflow, halve the heavy-dst threshold (more simple parts). Built
@@ -1383,7 +1521,10 @@ def build_sorted_layout_auto(
     cdir = _cache_dir()
     cpath = None
     if cdir is not None:
-        key = _layout_cache_key(dsts, srcs, weights, num_vertices, cfg, pad_weight)
+        key = _layout_cache_key(
+            dsts, srcs, weights, num_vertices, cfg, pad_weight,
+            num_src_vertices,
+        )
         cpath = os.path.join(cdir, f"spmv2_layout_{key}.npz")
         if os.path.exists(cpath):
             try:
@@ -1399,6 +1540,7 @@ def build_sorted_layout_auto(
                 dsts, srcs, weights, num_vertices,
                 dataclasses.replace(cfg, heavy_dst=heavy),
                 pad_weight=pad_weight,
+                num_src_vertices=num_src_vertices,
             )
             if cpath is not None:
                 save_sorted_layout(cpath, lay)
@@ -1446,9 +1588,14 @@ def sorted_layout_for(
         pad = float(np.inf)
         if wts is None:
             wts = np.zeros(e, np.float32)  # x + 0 under min
-    layout = build_sorted_layout_auto(
-        d, s, wts, graph.num_vertices, cfg, pad_weight=pad
-    )
+    if _needs_src_ranges(graph.num_vertices):
+        layout = build_multi_sorted_layout(
+            d, s, wts, graph.num_vertices, cfg, pad_weight=pad
+        )
+    else:
+        layout = build_sorted_layout_auto(
+            d, s, wts, graph.num_vertices, cfg, pad_weight=pad
+        )
     if len(_SORTED_CACHE) > 4:
         _SORTED_CACHE.clear()
     _SORTED_CACHE[key] = (adj.majors, layout)

@@ -332,3 +332,47 @@ def test_pack_unpack_pair_roundtrip():
     # zero stays exactly zero (sum identity for padding slots)
     z = _pack_pair(jnp.zeros(8), jnp.zeros(8))
     assert (np.asarray(z) == 0).all()
+
+
+@pytest.mark.parametrize("reduce", ["sum", "min"])
+def test_multi_range_sorted_spmv(reduce):
+    """Multi-range pipeline: sources split into 1024-wide ranges, one
+    sub-layout each, dense outputs combined (sum/min) — the path for V
+    past the single-VMEM-table budget."""
+    from cugraph_tpu.prims.pallas.spmv2 import (
+        build_multi_sorted_layout,
+        sorted_spmv,
+    )
+
+    rng = np.random.default_rng(42)
+    v, e = 4000, 9000
+    src, dst, w = _random_graph(rng, v, e, hubby=True)
+    x = rng.random(v).astype(np.float32)
+    pad = float(np.inf) if reduce == "min" else 0.0
+    mlay = build_multi_sorted_layout(dst, src, w, v, TINY, pad_weight=pad, span=1024)
+    assert len(mlay.parts) > 1
+    y = np.asarray(sorted_spmv(mlay, jnp.asarray(x), interpret=True, reduce=reduce))
+    if reduce == "sum":
+        oracle = np.zeros(v, np.float64)
+        np.add.at(oracle, dst, w.astype(np.float64) * x[src])
+    else:
+        oracle = np.full(v, np.inf)
+        np.minimum.at(oracle, dst, (x[src] + w).astype(np.float64))
+    np.testing.assert_allclose(y, oracle, rtol=1e-4, atol=1e-4)
+
+
+def test_multi_range_sorted_spmm_pairs():
+    from cugraph_tpu.prims.pallas.spmv2 import (
+        build_multi_sorted_layout,
+        sorted_spmm,
+    )
+
+    rng = np.random.default_rng(43)
+    v, e, f = 3000, 6000, 4
+    src, dst, w = _random_graph(rng, v, e, hubby=False)
+    feats = rng.random((v, f)).astype(np.float32)
+    mlay = build_multi_sorted_layout(dst, src, w, v, TINY, span=1024)
+    out = np.asarray(sorted_spmm(mlay, jnp.asarray(feats), interpret=True))
+    oracle = np.zeros((v, f), np.float64)
+    np.add.at(oracle, dst, w[:, None].astype(np.float64) * feats[src])
+    np.testing.assert_allclose(out, oracle, rtol=2e-2, atol=2e-2)
