@@ -95,6 +95,10 @@ class SortedLayout:
     first_flag: jax.Array  # (n_parts,) i32 1 = first part of its bin
     mode: jax.Array  # (n_parts,) i32 0 = sorted, 1 = simple
     simple_pos: jax.Array  # (n_parts,) i32 packed r*128+l dst slot (simple)
+    # hub scatter map: totals of heavy dsts land in compact per-part slots
+    # of out blocks n_bins..n_out_blocks; y[hub_dsts] (+)= hub_region[hub_pos]
+    hub_dsts: jax.Array  # (n_hub_slots,) i32 global dst ids
+    hub_pos: jax.Array  # (n_hub_slots,) i32 flat pos within the hub region
     cfg: Spmv2Config = dataclasses.field(metadata=dict(static=True))
     n_slabs: int = dataclasses.field(metadata=dict(static=True))
     n_parts: int = dataclasses.field(metadata=dict(static=True))
@@ -106,6 +110,13 @@ class SortedLayout:
     # src-range width when this layout covers only a slice of the sources
     # (multi-range pipelines for V past the VMEM table budget); 0 = all V
     num_src: int = dataclasses.field(default=0, metadata=dict(static=True))
+    # out blocks = n_bins dense bins + one compact block per hub part;
+    # 0 = legacy layout (no hub region, n_bins blocks)
+    n_out_blocks: int = dataclasses.field(default=0, metadata=dict(static=True))
+
+    @property
+    def out_blocks(self) -> int:
+        return self.n_out_blocks or self.n_bins
 
     @property
     def src_count(self) -> int:
@@ -274,7 +285,7 @@ def build_sorted_layout(
     # grouping (<= n_bins rows per slab + 1 spare vreg).
     # closed form: every slab reserves pad_vregs trailing vregs, so real
     # elements per slab <= slab_e - reserve regardless of fill pattern
-    reserve = (n_bins + 8) * LANES
+    reserve = (n_bins + 1 + 8) * LANES  # +1: the virtual hub bin's run
     pad_vregs = min(-(-reserve // (8 * LANES)), SR // 16)
     k_real = SR // 8 - pad_vregs
     vr_idx = np.arange(dense_vregs, dtype=np.int64)
@@ -294,18 +305,25 @@ def build_sorted_layout(
     w_np[final_row, lane_of_edge] = w
 
     _T("stage3")
-    # ---- global sorted order, bins, parts -------------------------------
-    sort_order = np.argsort(dsts, kind="stable")  # edges in dst order
-    d_sorted = dsts[sort_order]
-    bin_of_edge_sorted = d_sorted // bin_dsts
+    # ---- bins + heavy (hub) classification ------------------------------
     in_cnt = np.bincount(dsts, minlength=v)
+    assert PR % BR == 0, "part_rows must be a multiple of bin_rows"
+    layers = PR // BR
+    heavy_eff = min(cfg.heavy_dst, layers * PR)
 
     # slab of each edge + within-slab bin grouping (pi1)
     slab_of_edge = slot_of_edge // slab_e
-    # per-slab order: sort slots by (bin, dst) so runs are dst-sorted-ish
-    # (only bin grouping is REQUIRED; dst ordering inside helps nothing but
-    # costs nothing)
-    bin_of_edge = dsts // bin_dsts
+    # per-slab order: sort slots by (bin, dst). Heavy destinations go to a
+    # VIRTUAL HUB BIN (bin == n_bins) that sorts after all real bins: each
+    # slab packs its hub elements dst-sorted at the slab end, so assembly
+    # copies DENSE hub chunks instead of one ~2%-fill window per (dst,
+    # slab). Hub parts reduce like sorted parts but write compact per-part
+    # dst slots; a final O(n_hub) scatter-add folds them into y. This is
+    # the TPU analog of the reference's high-degree kernel tier
+    # (per_v_transform_reduce_incoming_outgoing_e.cuh:84-560).
+    bin_of_edge = np.where(
+        in_cnt[dsts] >= heavy_eff, n_bins, dsts // bin_dsts
+    )
 
     _T("stage4")
     # build per-slab permutations + run table (one vectorized global sort:
@@ -351,22 +369,12 @@ def build_sorted_layout(
 
     _T("stage5")
     # ---- parts ----------------------------------------------------------
-    # per bin: heavy dsts -> simple parts; remaining runs -> sorted parts
+    # real bins -> sorted parts; the hub bin -> hub parts (sorted-mode
+    # reduction into compact per-part dst slots)
     parts = []  # dicts
     runs_by_bin = {}
     for ridx, (s, bi, r0, n_el) in enumerate(run_info):
         runs_by_bin.setdefault(bi, []).append(ridx)
-
-    # Destinations beyond the simple-part threshold get masked-sum parts.
-    # Mid-heavy dsts (up to `layers` full lane columns) stay on the sorted
-    # path — the first-fit splits them into chunk_id groups of <= PR
-    # elements, each routed to its own output layer. Only true hubs go
-    # simple: routing every (hub, slab) piece through chunk-granular
-    # assembly was measured to blow up copied volume ~38x at RMAT scale 20.
-    assert PR % BR == 0, "part_rows must be a multiple of bin_rows"
-    layers = PR // BR
-    heavy_eff = min(cfg.heavy_dst, layers * PR)
-    heavy_v = np.nonzero(in_cnt >= heavy_eff)[0]
 
     def piece_rows(sel, r0):
         """Chunk-row extent a piece occupies in the part block."""
@@ -409,25 +417,54 @@ def build_sorted_layout(
     sorted_budget = max((PR * 3) // 4, CH)
     for bi in range(n_bins):
         ridxs = runs_by_bin.get(bi, [])
-        bin_parts = []
-        # split each run's elements into heavy / normal
-        norm_chunks = []  # (run, elem offsets within run)
-        heavy_elems = {}  # dst -> list of (run, offsets)
-        for ridx in ridxs:
-            eids = run_elems[ridx]
-            hd = np.isin(dsts[eids], heavy_v, assume_unique=False)
-            if hd.any():
-                for d in np.unique(dsts[eids][hd]):
-                    sel = np.nonzero(dsts[eids] == d)[0]
-                    heavy_elems.setdefault(int(d), []).append((ridx, sel))
-            if (~hd).any():
-                norm_chunks.append((ridx, np.nonzero(~hd)[0]))
-        for d, pieces in heavy_elems.items():
-            bin_parts.extend(pack_parts(pieces, 1, bi, d=d))
-        bin_parts.extend(pack_parts(norm_chunks, 0, bi, row_budget=sorted_budget))
+        norm_chunks = [
+            (ridx, np.arange(run_info[ridx][3], dtype=np.int64))
+            for ridx in ridxs
+        ]
+        bin_parts = pack_parts(norm_chunks, 0, bi, row_budget=sorted_budget)
         if not bin_parts:
             bin_parts.append(dict(mode=1, dst=bi * bin_dsts, pieces=[], bin=bi))
         parts.extend(bin_parts)
+
+    # hub parts: pack the per-slab hub runs densely under the row budget
+    # with a per-dst element cap (layers * PR — the layered-chunk ceiling
+    # of one part); runs are dst-sorted so a <=cap slice is automatically
+    # <=cap per dst. Parts of a mega-hub produce partial totals; the final
+    # scatter-add merges them.
+    dst_cap = layers * PR
+    hub_pieces = []
+    for ridx in runs_by_bin.get(n_bins, []):
+        n_el = int(run_info[ridx][3])
+        sel = np.arange(n_el, dtype=np.int64)
+        for o in range(0, n_el, dst_cap):
+            hub_pieces.append((ridx, sel[o : o + dst_cap]))
+    hub_parts = pack_parts(hub_pieces, 0, None, row_budget=sorted_budget)
+    # per-dst cap across pieces of one part: split parts where the sum of
+    # one dst's elements exceeds the cap (rare: mega-hubs spanning slabs)
+    def _split_by_dst_cap(prt):
+        out, cur, cnt = [], [], {}
+        for ridx, sel in prt["pieces"]:
+            eids = run_elems[ridx][sel]
+            ud, uc = np.unique(dsts[eids], return_counts=True)
+            if cur and any(
+                cnt.get(int(d), 0) + int(c) > dst_cap
+                for d, c in zip(ud, uc)
+            ):
+                out.append(dict(mode=0, dst=None, pieces=cur, bin=None))
+                cur, cnt = [], {}
+            cur.append((ridx, sel))
+            for d, c in zip(ud, uc):
+                cnt[int(d)] = cnt.get(int(d), 0) + int(c)
+        if cur:
+            out.append(dict(mode=0, dst=None, pieces=cur, bin=None))
+        return out
+
+    hub_parts = [q for p in hub_parts for q in _split_by_dst_cap(p)]
+    for j, prt in enumerate(hub_parts):
+        prt["hub"] = True
+        prt["bin"] = n_bins + j  # its own out block
+    parts.extend(hub_parts)
+    n_out_blocks = n_bins + len(hub_parts)
 
     n_parts = len(parts)
 
@@ -500,6 +537,8 @@ def build_sorted_layout(
     bin_of_part = np.zeros(n_parts, np.int32)
     first_flag = np.zeros(n_parts, np.int32)
     seen_bins = set()
+    hub_dst_list = []  # global dst id per hub slot
+    hub_pos_list = []  # flat slot position within the hub out region
 
     for pid, pm in enumerate(part_meta):
         prt = pm["prt"]
@@ -531,7 +570,20 @@ def build_sorted_layout(
         eids = pm["elem"]
         pos = pm["pos"]  # input positions in part block
         d = dsts[eids]
-        d_loc = d - bi * bin_dsts
+        if prt.get("hub"):
+            # compact per-part dst slots; the final scatter-add maps them
+            # back to global y positions
+            uniq = np.unique(d)
+            if len(uniq) > BR * LANES:
+                raise ValueError("hub part has too many distinct dsts")
+            d_loc = np.searchsorted(uniq, d)
+            hub_dst_list.append(uniq.astype(np.int64))
+            hub_pos_list.append(
+                (bi - n_bins) * (BR * LANES)
+                + np.arange(len(uniq), dtype=np.int64)
+            )
+        else:
+            d_loc = d - bi * bin_dsts
         od = np.lexsort((pos, d_loc))
         d_ord, pos_ord = d_loc[od], pos[od]
         rank = _group_ranks(d_ord)
@@ -551,6 +603,27 @@ def build_sorted_layout(
         lane_load = np.zeros(LANES, dtype=np.int64)
         base_all = (guniq // 512) % LANES
         remaining = np.argsort(-gcount, kind="stable")
+        # big groups (> PR/4, incl. full-lane chunks of heavy dsts) go
+        # LPT-first onto the emptiest lane — the hashed first-fit below
+        # cannot place a full-lane group once every lane is partly loaded
+        import heapq
+
+        big = remaining[gcount[remaining] > PR // 4]
+        if len(big):
+            heap = [(0, l) for l in range(LANES)]
+            heapq.heapify(heap)
+            for gi in big:
+                c = int(gcount[gi])
+                load, l = heapq.heappop(heap)
+                if load + c > PR:
+                    raise ValueError("sorted part cannot be lane-balanced")
+                grp_lane[gi] = l
+                grp_row0[gi] = load
+                heapq.heappush(heap, (load + c, l))
+            while heap:
+                load, l = heapq.heappop(heap)
+                lane_load[l] = load
+            remaining = remaining[gcount[remaining] <= PR // 4]
         for delta in range(LANES):
             if not len(remaining):
                 break
@@ -717,6 +790,16 @@ def build_sorted_layout(
         first_flag=jnp.asarray(first_flag),
         mode=jnp.asarray(mode_np),
         simple_pos=jnp.asarray(simple_pos),
+        hub_dsts=jnp.asarray(
+            np.concatenate(hub_dst_list).astype(np.int32)
+            if hub_dst_list
+            else np.zeros(0, np.int32)
+        ),
+        hub_pos=jnp.asarray(
+            np.concatenate(hub_pos_list).astype(np.int32)
+            if hub_pos_list
+            else np.zeros(0, np.int32)
+        ),
         cfg=cfg,
         n_slabs=n_slabs,
         n_parts=n_parts,
@@ -726,6 +809,7 @@ def build_sorted_layout(
         num_vertices=v,
         num_edges=e,
         num_src=vs,
+        n_out_blocks=n_out_blocks,
     )
 
 
@@ -1003,7 +1087,9 @@ def _sort_reduce_call(layout, pblocks, interpret, reduce="sum"):
     return pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((layout.n_bins * BR, LANES), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(
+            (layout.out_blocks * BR, LANES), jnp.float32
+        ),
         compiler_params=None
         if interpret
         else __import__(
@@ -1186,7 +1272,7 @@ def _sort_reduce_pair_call(layout, pblocks, interpret):
             for _ in range(2)
         ),
     )
-    out = jax.ShapeDtypeStruct((layout.n_bins * BR, LANES), jnp.float32)
+    out = jax.ShapeDtypeStruct((layout.out_blocks * BR, LANES), jnp.float32)
     return pl.pallas_call(
         kern,
         grid_spec=grid_spec,
@@ -1236,8 +1322,14 @@ def _sorted_spmv_pair_jit(
     vals = _expand_pair_call(layout, table, interpret)
     binned = _slab_benes_call(layout, vals, interpret)
     pblocks = _assemble_call(layout, binned, interpret)
-    ya, yb = _sort_reduce_pair_call(layout, pblocks, interpret)
-    return ya.reshape(-1)[:v], yb.reshape(-1)[:v]
+    oa, ob = _sort_reduce_pair_call(layout, pblocks, interpret)
+    nb = layout.n_bins * layout.cfg.bin_rows
+    ya = oa[:nb].reshape(-1)[:v]
+    yb = ob[:nb].reshape(-1)[:v]
+    if layout.hub_dsts.shape[0]:
+        ya = ya.at[layout.hub_dsts].add(oa[nb:].reshape(-1)[layout.hub_pos])
+        yb = yb.at[layout.hub_dsts].add(ob[nb:].reshape(-1)[layout.hub_pos])
+    return ya, yb
 
 
 @partial(jax.jit, static_argnames=("interpret", "reduce"))
@@ -1327,8 +1419,14 @@ def _sorted_spmv_jit(
     vals = _expand_call(layout, table, interpret, reduce)
     binned = _slab_benes_call(layout, vals, interpret)
     pblocks = _assemble_call(layout, binned, interpret)
-    y = _sort_reduce_call(layout, pblocks, interpret, reduce)
-    return y.reshape(-1)[: layout.num_vertices]
+    out = _sort_reduce_call(layout, pblocks, interpret, reduce)
+    nb = layout.n_bins * layout.cfg.bin_rows
+    y = out[:nb].reshape(-1)[: layout.num_vertices]
+    if layout.hub_dsts.shape[0]:
+        hub_vals = out[nb:].reshape(-1)[layout.hub_pos]
+        upd = y.at[layout.hub_dsts]
+        y = upd.add(hub_vals) if reduce == "sum" else upd.min(hub_vals)
+    return y
 
 
 
@@ -1389,7 +1487,7 @@ _SORTED_VMEM_BUDGET = 10 * 1024 * 1024
 
 _STATIC_FIELDS = (
     "n_slabs", "n_parts", "n_bins", "n_steps", "x_rows",
-    "num_vertices", "num_edges", "num_src",
+    "num_vertices", "num_edges", "num_src", "n_out_blocks",
 )
 
 
@@ -1412,7 +1510,7 @@ def _layout_cache_key(
     import hashlib
 
     h = hashlib.blake2b(digest_size=16)
-    h.update(b"layout-v4")  # builder version: bump to invalidate the cache
+    h.update(b"layout-v6")  # builder version: bump to invalidate the cache
     h.update(np.int64(num_vertices).tobytes())
     if num_src_vertices is not None:
         h.update(np.int64(num_src_vertices).tobytes())
@@ -1450,6 +1548,10 @@ def load_sorted_layout(path: str) -> SortedLayout:
         arrays = {k: jnp.asarray(z[k]) for k in z.files if k != "__meta__"}
     cfg = Spmv2Config(*meta.pop("cfg"))
     meta.setdefault("num_src", 0)  # pre-multi-range cache files
+    meta.setdefault("n_out_blocks", 0)
+    if "hub_dsts" not in arrays:
+        arrays["hub_dsts"] = jnp.zeros(0, jnp.int32)
+        arrays["hub_pos"] = jnp.zeros(0, jnp.int32)
     return SortedLayout(cfg=cfg, **meta, **arrays)
 
 
