@@ -54,7 +54,7 @@ def build_graph(scale: int, edgefactor: int):
     return g, num_edges
 
 
-def bench_pagerank(g, num_edges, iters: int = 20, reps: int = 3):
+def bench_pagerank(g, num_edges, iters: int = 50, reps: int = 3):
     import jax
 
     import cugraph_tpu as cg
@@ -119,7 +119,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--scale", type=int, default=21)
     ap.add_argument("--edgefactor", type=int, default=16)
-    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--iters", type=int, default=50)
     ap.add_argument("--full", action="store_true")
     ap.add_argument(
         "--profile",
@@ -145,7 +145,7 @@ def main():
             "bfs_vs_baseline": bfs_eps / BASELINE_EDGES_PER_S,
             "spmm_edges_per_s": spmm_eps,
             "spmm_seconds": spmm_t,
-            "pagerank_seconds_20it": t,
+            "pagerank_seconds": t,
             "scale": args.scale,
             "edgefactor": args.edgefactor,
         }
