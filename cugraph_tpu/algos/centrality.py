@@ -174,7 +174,7 @@ def _brandes_batch(g: Graph, sources: jax.Array, vary_axes: tuple = ()):
             return x
         have = getattr(jax.typeof(x), "vma", frozenset())
         need = tuple(a for a in vary_axes if a not in have)
-        return jax.lax.pvary(x, need) if need else x
+        return jax.lax.pcast(x, need, to="varying") if need else x
     adj = g.csr()
     src_ids, dst_ids = adj.majors, adj.minors
     valid = adj.valid()
