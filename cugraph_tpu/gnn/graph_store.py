@@ -132,6 +132,17 @@ class GraphStore:
             )
         return self._graph_cache
 
+    @property
+    def is_mg(self) -> bool:
+        """Single-controller JAX replaces the dask-MG split; per-graph
+        mesh backing lives in the service layer (ref CuGraphStore.is_mg)."""
+        return False
+
+    @property
+    def gdata(self):
+        """The backing PropertyGraph (ref CuGraphStore.gdata :148)."""
+        return self.pg
+
     # ---- sampling (ref CuGraphStore.sample_neighbors :155) ---------------
     def sample_neighbors(
         self,
@@ -139,16 +150,33 @@ class GraphStore:
         fanout: int = -1,
         with_replacement: bool = False,
         num_hops: int = 1,
+        edge_dir: str = "in",
         rng_key: Optional[jax.Array] = None,
     ) -> pd.DataFrame:
+        """edge_dir "in": sample edges INTO the seed nodes (DGL default,
+        via the reverse adjacency — ref extracted_reverse_subgraph :287);
+        "out": sample outgoing edges."""
         g = self._algo_graph()
+        sample_g = g.core
+        if edge_dir == "in":
+            from ..core.convert import transpose
+
+            if getattr(self, "_rev_core", None) is None:
+                self._rev_core = transpose(g.core)
+            sample_g = self._rev_core
         res = uniform_neighbor_sample(
-            g.core,
+            sample_g,
             g.to_internal(np.atleast_1d(nodes)),
             [fanout] * num_hops,
             with_replacement=with_replacement,
             rng_key=rng_key,
         )
+        if edge_dir == "in":  # un-reverse the reported edges
+            res = dict(
+                res,
+                sources=res["destinations"],
+                destinations=res["sources"],
+            )
         return pd.DataFrame(
             {
                 "sources": g.to_external(res["sources"]),

@@ -195,3 +195,21 @@ def test_graph_store_dgl_surface(karate):
     assert s_.tolist() == [src[0], src[2]] and d_.tolist() == [dst[0], dst[2]]
     ef = store.get_edge_storage(["w"], "knows").fetch([1, 3])
     np.testing.assert_allclose(np.asarray(ef)[:, 0], [w[1], w[3]], rtol=1e-6)
+
+
+def test_graph_store_edge_dir_sampling():
+    """edge_dir="in" samples edges INTO the seeds (DGL semantics, via the
+    reverse adjacency); "out" samples outgoing edges."""
+    import pandas as pd
+
+    store = GraphStore()
+    df = pd.DataFrame({"src": [0, 1, 2, 3], "dst": [9, 9, 9, 0]})
+    store.add_edge_data(df, ["src", "dst"])
+    res_in = store.sample_neighbors([9], fanout=-1, edge_dir="in")
+    assert set(res_in["sources"]) == {0, 1, 2}
+    assert set(res_in["destinations"]) == {9}
+    res_out = store.sample_neighbors([3], fanout=-1, edge_dir="out")
+    assert set(res_out["sources"]) == {3}
+    assert set(res_out["destinations"]) == {0}
+    assert store.is_mg is False
+    assert store.gdata is store.pg
