@@ -64,6 +64,7 @@ class Graph:
             w,
             num_vertices=nv,
             symmetrize=not self.directed,
+            multi=self.is_multigraph(),
         )
         self._edge_df = df[[source, destination] + ([edge_attr] if edge_attr else [])]
         return self

@@ -185,6 +185,7 @@ def from_edgelist(
     symmetrize: bool = False,
     store: str = "both",
     is_symmetric: Optional[bool] = None,
+    multi: bool = False,
 ) -> Graph:
     """Build a Graph from a COO edgelist of already-contiguous int vertex ids.
 
@@ -192,9 +193,9 @@ def from_edgelist(
     (analog of cugraph's auto-renumbering,
     ref: python/cugraph/cugraph/structure/number_map.py:500).
 
-    symmetrize=True unions each edge with its reciprocal (keeping weights;
-    parallel reciprocal duplicates are NOT merged — matching the reference's
-    symmetrize-with-multi=False semantics handled upstream).
+    symmetrize=True unions each edge with its reciprocal; multi=True skips
+    the duplicate coalescing so parallel edges survive (the reference's
+    symmetrize multi flag, symmetrize_edgelist_impl.cuh).
     """
     src = np.asarray(src)
     dst = np.asarray(dst)
@@ -212,7 +213,7 @@ def from_edgelist(
     if symmetrize:
         from .symmetrize import symmetrize_edgelist_np
 
-        src, dst, weight = symmetrize_edgelist_np(src, dst, weight)
+        src, dst, weight = symmetrize_edgelist_np(src, dst, weight, multi=multi)
         sym = True
     else:
         sym = bool(is_symmetric) if is_symmetric is not None else False

@@ -221,3 +221,19 @@ def test_property_graph_selections_and_types():
     assert PropertyGraph.has_duplicate_edges(pg2._edge_df)
     with pytest.raises(Exception):
         pg2.extract_subgraph()  # check_multi_edges=True on non-multigraph
+
+
+def test_multigraph_preserves_parallel_edges():
+    """MultiGraph symmetrize keeps parallel edges (ref symmetrize multi
+    flag); plain Graph coalesces them."""
+    import pandas as pd
+
+    from cugraph_tpu.api.graph import Graph, MultiGraph
+
+    df = pd.DataFrame({"src": [0, 0, 0, 1], "dst": [1, 1, 2, 0], "w": [1.0, 2.0, 3.0, 4.0]})
+    mg = MultiGraph()
+    mg.from_pandas_edgelist(df, source="src", destination="dst", edge_attr="w")
+    assert mg.number_of_edges() == 4  # 0-1 x3 (two + reciprocal pair), 0-2
+    g = Graph()
+    g.from_pandas_edgelist(df, source="src", destination="dst", edge_attr="w")
+    assert g.number_of_edges() == 2
