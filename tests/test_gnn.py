@@ -213,3 +213,34 @@ def test_graph_store_edge_dir_sampling():
     assert set(res_out["destinations"]) == {0}
     assert store.is_mg is False
     assert store.gdata is store.pg
+
+
+def test_pyg_store_protocol():
+    """PyG remote-backend protocol: edge groups, named tensors, local-id
+    neighbor_sample (ref pyg_extensions/data/cugraph_store.py)."""
+    import numpy as np
+
+    from cugraph_tpu.gnn import EdgeAttr, PyGStore, TensorAttr, to_pyg
+
+    store = PyGStore()
+    src = np.array([0, 1, 2, 3, 0])
+    dst = np.array([1, 2, 3, 0, 2])
+    assert store.put_edge_index((src, dst), EdgeAttr(edge_type="knows"))
+    attrs = store.get_all_edge_attrs()
+    assert attrs[0].edge_type == "knows"
+    r, c = store.get_edge_index(EdgeAttr(edge_type="knows"))
+    assert set(zip(r, c)) == set(zip(src, dst))
+
+    feats = np.arange(8, dtype=np.float32).reshape(4, 2)
+    store.put_tensor(feats, TensorAttr(group_name="", attr_name="x"))
+    got = np.asarray(store.get_tensor(TensorAttr(group_name="", attr_name="x", index=[2, 0])))
+    np.testing.assert_allclose(got, feats[[2, 0]])
+    names = {a.attr_name for a in store.get_all_tensor_attrs()}
+    assert "x" in names
+
+    row, col, nodes, hop = store.neighbor_sample([0], [2], replace=False)
+    assert len(row) == len(col) == len(hop)
+    assert row.max(initial=0) < len(nodes) and col.max(initial=0) < len(nodes)
+
+    fs, gs = to_pyg(store.pg)
+    assert fs is gs
