@@ -67,6 +67,19 @@ TINY = Spmv2Config(
 )
 
 
+def default_config_for(num_vertices: int) -> Spmv2Config:
+    """Scale the dst-bin width with V (target <= 64 bins) so per-slab runs
+    stay chunk-dense: with bin count ~ V the runs shrink below one
+    assembly chunk and part fill collapses (measured: the scale-23 range
+    layout grew 4.4x vs scale 21 at fixed bin_rows). part_rows stays 2048
+    (kernel VMEM unchanged); layers = PR//BR shrinks accordingly, lowering
+    the effective heavy threshold — heavy traffic rides the dense hub
+    path anyway."""
+    br = -(-num_vertices // (LANES * 64))
+    br = max(512, min(2048, -(-br // 8) * 8))
+    return Spmv2Config(bin_rows=br)
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class SortedLayout:
@@ -1094,7 +1107,7 @@ def _sort_reduce_call(layout, pblocks, interpret, reduce="sum"):
         if interpret
         else __import__(
             "jax.experimental.pallas.tpu", fromlist=["x"]
-        ).CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
+        ).CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(
         layout.route_blk,
@@ -1281,7 +1294,7 @@ def _sort_reduce_pair_call(layout, pblocks, interpret):
         if interpret
         else __import__(
             "jax.experimental.pallas.tpu", fromlist=["x"]
-        ).CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
+        ).CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(
         layout.route_blk,
@@ -1583,6 +1596,7 @@ def build_multi_sorted_layout(
     non-empty range (each range's x table fits the VMEM budget). Empty
     ranges are skipped; sub-layouts share the disk cache individually."""
     span = span or _SRC_RANGE_SPAN
+    cfg = cfg or default_config_for(int(num_vertices))
     srcs = np.asarray(srcs, dtype=np.int64)
     dsts = np.asarray(dsts, dtype=np.int64)
     k_tot = max(-(-int(num_vertices) // span), 1)
@@ -1690,6 +1704,7 @@ def sorted_layout_for(
         pad = float(np.inf)
         if wts is None:
             wts = np.zeros(e, np.float32)  # x + 0 under min
+    cfg = cfg or default_config_for(graph.num_vertices)
     if _needs_src_ranges(graph.num_vertices):
         layout = build_multi_sorted_layout(
             d, s, wts, graph.num_vertices, cfg, pad_weight=pad
