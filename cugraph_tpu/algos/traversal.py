@@ -34,34 +34,94 @@ def _as_source_mask(g: Graph, sources) -> jax.Array:
     return jnp.zeros(g.num_vertices, dtype=bool).at[sources].set(True)
 
 
+def _sparse_bfs_level(
+    offsets, minors, frontier, visited, cap_v: int, cap_e: int
+):
+    """One BFS level over a COMPACTED frontier (<= cap_v vertices whose
+    total out-degree is <= cap_e): gather the frontier's adjacency ranges
+    and scatter reached vertices. O(cap_e) instead of O(E) — the small
+    early/late levels of the direction-optimizing split
+    (ref bfs_impl.cuh's top-down phase; the dense min-plus sweep is the
+    bottom-up phase). Returns (touched_mask, pred_candidate)."""
+    v = visited.shape[0]
+    fids = jnp.nonzero(frontier, size=cap_v, fill_value=v)[0]
+    safe = jnp.minimum(fids, v - 1)
+    offs = offsets[safe]
+    degs = jnp.where(fids < v, offsets[safe + 1] - offs, 0)
+    cum = jnp.cumsum(degs)
+    total = cum[-1]
+    j = jnp.arange(cap_e, dtype=jnp.int32)
+    owner = jnp.searchsorted(cum, j, side="right").astype(jnp.int32)
+    owner = jnp.minimum(owner, cap_v - 1)
+    epos = offs[owner] + (j - (cum[owner] - degs[owner]))
+    valid_e = j < total
+    nbr = minors[jnp.where(valid_e, epos, 0)]
+    src = fids[owner]
+    keep = valid_e & ~visited[nbr]
+    nbr_or_v = jnp.where(keep, nbr, v)
+    touched = (
+        jnp.zeros(v + 1, dtype=bool).at[nbr_or_v].set(True, mode="drop")[:v]
+    )
+    pred_cand = (
+        jnp.full(v + 1, jnp.int32(jnp.iinfo(jnp.int32).max))
+        .at[nbr_or_v]
+        .min(src.astype(jnp.int32), mode="drop")[:v]
+    )
+    return touched, pred_cand
+
+
 @partial(jax.jit, static_argnames=("depth_limit",))
 def _bfs_pallas_jit(g: Graph, src_mask, depth_limit: int, lay):
-    """BFS levels through the MIN-variant sorted pipeline: one min-plus
-    sweep per level over x[u] = (u if u in frontier else +inf) yields BOTH
-    the expansion (y < inf == frontier OR) and the predecessor (y = min
-    in-frontier neighbor id) — no separate predecessor pass. Vertex ids
-    ride f32 exactly (V <= 2^24 enforced by the caller). The TPU answer to
-    the reference's direction-optimizing pull intent (bfs_impl.cuh:206,
+    """Direction-optimizing BFS on the sorted pipeline.
+
+    Small levels (frontier out-degree <= cap_e) run a compacted sparse
+    push (_sparse_bfs_level, O(cap_e)); saturated levels run the dense
+    MIN-variant sweep — one min-plus pass over x[u] = (u if u in frontier
+    else +inf) yields BOTH the expansion (y < inf == frontier OR) and the
+    predecessor (y = min in-frontier neighbor id). Vertex ids ride f32
+    exactly (V <= 2^24 enforced by the caller). The realized form of the
+    reference's direction-optimizing intent (bfs_impl.cuh:206,
     unimplemented there)."""
     from ..prims.pallas.spmv2 import sorted_spmv_dispatch
 
     v = g.num_vertices
+    csr = g.csr()
+    out_deg = (csr.offsets[1:] - csr.offsets[:-1]).astype(jnp.int32)
     INF = jnp.float32(jnp.inf)
     ids = jnp.arange(v, dtype=jnp.int32).astype(jnp.float32)
     dist0 = jnp.where(src_mask, 0, INVALID_DISTANCE).astype(jnp.int32)
     pred0 = jnp.full(v, INVALID_VERTEX, dtype=jnp.int32)
+    cap_e = max(1 << 17, g.num_edges >> 7)
+    cap_v = min(v, cap_e)
 
     def cond(state):
         visited, dist, pred, frontier, depth = state
         return jnp.any(frontier) & (depth < depth_limit)
 
-    def body(state):
-        visited, dist, pred, frontier, depth = state
+    def dense_level(visited, frontier):
         x = jnp.where(frontier, ids, INF)
         y = sorted_spmv_dispatch(lay, x, reduce="min")
-        new = jnp.isfinite(y) & ~visited
+        return jnp.isfinite(y) & ~visited, y.astype(jnp.int32)
+
+    def sparse_level(visited, frontier):
+        touched, pred_cand = _sparse_bfs_level(
+            csr.offsets, csr.minors, frontier, visited, cap_v, cap_e
+        )
+        return touched & ~visited, pred_cand
+
+    def body(state):
+        visited, dist, pred, frontier, depth = state
+        f_edges = jnp.sum(jnp.where(frontier, out_deg, 0))
+        f_count = jnp.sum(frontier.astype(jnp.int32))
+        new, pred_cand = jax.lax.cond(
+            (f_edges <= cap_e) & (f_count <= cap_v),
+            sparse_level,
+            dense_level,
+            visited,
+            frontier,
+        )
         dist = jnp.where(new, depth + 1, dist)
-        pred = jnp.where(new, y.astype(jnp.int32), pred)
+        pred = jnp.where(new, pred_cand, pred)
         return visited | new, dist, pred, new, depth + 1
 
     visited, dist, pred, _, _ = jax.lax.while_loop(

@@ -103,3 +103,36 @@ def test_two_hop_neighbors():
     g = cg.from_edgelist(src, dst)
     s, d = two_hop_neighbors(g)
     assert list(zip(s.tolist(), d.tolist())) == [(0, 2)]
+
+
+def test_sparse_bfs_level_matches_oracle():
+    """Compacted sparse push level == dense-oracle expansion + min-pred."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    import cugraph_tpu as cg
+    from cugraph_tpu.algos.traversal import _sparse_bfs_level
+
+    rng = np.random.default_rng(11)
+    v, e = 500, 3000
+    src = rng.integers(0, v, e)
+    dst = rng.integers(0, v, e)
+    g = cg.from_edgelist(src, dst, num_vertices=v)
+    csr = g.csr()
+    frontier = np.zeros(v, bool)
+    frontier[rng.choice(v, 17, replace=False)] = True
+    visited = np.zeros(v, bool)
+    visited[rng.choice(v, 60, replace=False)] = True
+
+    touched, pred = _sparse_bfs_level(
+        csr.offsets, csr.minors, jnp.asarray(frontier), jnp.asarray(visited),
+        cap_v=64, cap_e=1 << 12,
+    )
+    oracle_t = np.zeros(v, bool)
+    oracle_p = np.full(v, np.iinfo(np.int32).max)
+    for s, d in zip(src, dst):
+        if frontier[s] and not visited[d]:
+            oracle_t[d] = True
+            oracle_p[d] = min(oracle_p[d], s)
+    np.testing.assert_array_equal(np.asarray(touched), oracle_t)
+    np.testing.assert_array_equal(np.asarray(pred)[oracle_t], oracle_p[oracle_t])
