@@ -51,12 +51,26 @@ def _sparse_bfs_level(
     cum = jnp.cumsum(degs)
     total = cum[-1]
     j = jnp.arange(cap_e, dtype=jnp.int32)
-    owner = jnp.searchsorted(cum, j, side="right").astype(jnp.int32)
-    owner = jnp.minimum(owner, cap_v - 1)
-    epos = offs[owner] + (j - (cum[owner] - degs[owner]))
+    starts = cum - degs
+
+    # Broadcast per-frontier-vertex values to their edge slots WITHOUT
+    # per-slot gathers (XLA gather runs ~0.1 Gelem/s on TPU): scatter the
+    # per-vertex value DELTAS at each range start and prefix-sum. Empty
+    # ranges share a start with their successor; the co-located deltas
+    # telescope, so the cumsum is correct for any degree pattern.
+    s_idx = jnp.minimum(starts, cap_e)
+
+    def fill(vals):
+        delta = vals - jnp.concatenate([vals[:1] * 0, vals[:-1]])
+        acc = (
+            jnp.zeros(cap_e + 1, vals.dtype).at[s_idx].add(delta)[:cap_e]
+        )
+        return jnp.cumsum(acc)
+
+    epos = j + fill(offs - starts)
     valid_e = j < total
     nbr = minors[jnp.where(valid_e, epos, 0)]
-    src = fids[owner]
+    src = fill(fids.astype(jnp.int32))
     keep = valid_e & ~visited[nbr]
     nbr_or_v = jnp.where(keep, nbr, v)
     touched = (
@@ -91,8 +105,12 @@ def _bfs_pallas_jit(g: Graph, src_mask, depth_limit: int, lay):
     ids = jnp.arange(v, dtype=jnp.int32).astype(jnp.float32)
     dist0 = jnp.where(src_mask, 0, INVALID_DISTANCE).astype(jnp.int32)
     pred0 = jnp.full(v, INVALID_VERTEX, dtype=jnp.int32)
-    cap_e = max(1 << 17, g.num_edges >> 7)
-    cap_v = min(v, cap_e)
+    cap_e = 1 << 17
+    cap_v = min(v, 1 << 14)
+    # the sparse push costs ~15-25 ms (nonzero compaction + XLA scatter)
+    # regardless of frontier size; it only beats the dense sweep once the
+    # sweep itself is expensive (multi-range graphs past ~4M vertices)
+    use_sparse = v >= (1 << 22)
 
     def cond(state):
         visited, dist, pred, frontier, depth = state
@@ -111,15 +129,18 @@ def _bfs_pallas_jit(g: Graph, src_mask, depth_limit: int, lay):
 
     def body(state):
         visited, dist, pred, frontier, depth = state
-        f_edges = jnp.sum(jnp.where(frontier, out_deg, 0))
-        f_count = jnp.sum(frontier.astype(jnp.int32))
-        new, pred_cand = jax.lax.cond(
-            (f_edges <= cap_e) & (f_count <= cap_v),
-            sparse_level,
-            dense_level,
-            visited,
-            frontier,
-        )
+        if use_sparse:
+            f_edges = jnp.sum(jnp.where(frontier, out_deg, 0))
+            f_count = jnp.sum(frontier.astype(jnp.int32))
+            new, pred_cand = jax.lax.cond(
+                (f_edges <= cap_e) & (f_count <= cap_v),
+                sparse_level,
+                dense_level,
+                visited,
+                frontier,
+            )
+        else:
+            new, pred_cand = dense_level(visited, frontier)
         dist = jnp.where(new, depth + 1, dist)
         pred = jnp.where(new, pred_cand, pred)
         return visited | new, dist, pred, new, depth + 1
