@@ -376,3 +376,41 @@ def test_multi_range_sorted_spmm_pairs():
     oracle = np.zeros((v, f), np.float64)
     np.add.at(oracle, dst, w[:, None].astype(np.float64) * feats[src])
     np.testing.assert_allclose(out, oracle, rtol=2e-2, atol=2e-2)
+
+
+def test_multi_range_with_empty_range_and_mega_hub():
+    """A src range with no edges is skipped; a destination whose in-degree
+    exceeds the per-part cap splits across hub parts whose partial totals
+    scatter-add correctly."""
+    from cugraph_tpu.prims.pallas.spmv2 import (
+        build_multi_sorted_layout,
+        sorted_spmv,
+    )
+
+    rng = np.random.default_rng(77)
+    v = 4096
+    # all sources in ranges 0 and 2 (range 1 = [1024, 2048) empty)
+    src = np.concatenate([
+        rng.integers(0, 1024, 3000),
+        rng.integers(2048, 3072, 3000),
+    ])
+    # mega hub: half of all edges point at vertex 7
+    dst = rng.integers(0, v, 6000)
+    dst[::2] = 7
+    w = rng.random(6000).astype(np.float32)
+    x = rng.random(v).astype(np.float32)
+    mlay = build_multi_sorted_layout(dst, src, w, v, TINY, span=1024)
+    assert 1 not in mlay.range_of
+    y = np.asarray(sorted_spmv(mlay, jnp.asarray(x), interpret=True))
+    oracle = np.zeros(v, np.float64)
+    np.add.at(oracle, dst, w.astype(np.float64) * x[src])
+    np.testing.assert_allclose(y, oracle, rtol=1e-4, atol=1e-4)
+
+
+def test_default_config_scaling():
+    from cugraph_tpu.prims.pallas.spmv2 import default_config_for
+
+    assert default_config_for(1 << 21).bin_rows == 512  # scale-21 cache key stable
+    c23 = default_config_for(1 << 23)
+    assert c23.bin_rows == 1024 and c23.part_rows % c23.bin_rows == 0
+    assert default_config_for(1 << 25).bin_rows == 2048  # capped (route words)
