@@ -33,6 +33,9 @@ def main():
 
     g, _ = build_graph(args.scale, args.edgefactor)
     lay = S.sorted_layout_for(g)
+    if isinstance(lay, S.MultiSortedLayout):
+        print(f"multi-range layout ({len(lay.parts)} ranges); timing range 0")
+        lay = lay.parts[0]
     print(f"slabs={lay.n_slabs} parts={lay.n_parts} bins={lay.n_bins} "
           f"steps={lay.n_steps} slot_rows={lay.idx.shape[0]}", flush=True)
 

@@ -30,8 +30,13 @@ def spmm_aggregate(
     *,
     op: str = "mean",
     use_weights: bool = False,
+    precision: str = "bf16_pair",
 ) -> jax.Array:
-    """out[v] = op over incoming neighbors' feature rows. op: sum|mean|max."""
+    """out[v] = op over incoming neighbors' feature rows. op: sum|mean|max.
+
+    precision (sorted-pipeline path only): "bf16_pair" (default) rounds
+    inputs/group totals to bf16 with f32 accumulation — the usual GNN
+    mixed-precision contract, ~2x faster; "f32" is exact."""
 
     def e_op(s, d, sv, dv, w):
         if use_weights and w is not None:
@@ -63,9 +68,9 @@ def spmm_aggregate(
         ):
             lay = sorted_layout_for(g, use_weights=use_weights)
         if lay is not None:
-            agg = sorted_spmm(lay, features.astype(jnp.float32)).astype(
-                features.dtype
-            )
+            agg = sorted_spmm(
+                lay, features.astype(jnp.float32), precision=precision
+            ).astype(features.dtype)
         else:
             agg = per_v_transform_reduce_incoming_e(
                 g, e_op, reduce_op=PLUS, src_values=features

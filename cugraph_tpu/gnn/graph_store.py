@@ -68,10 +68,12 @@ class GraphStore:
     def add_node_data(self, df: pd.DataFrame, node_col_name: str, node_type: str = ""):
         self.pg.add_vertex_data(df, node_col_name, type_name=node_type)
         self._graph_cache = None
+        self._rev_core = None
 
     def add_edge_data(self, df: pd.DataFrame, vertex_col_names, edge_type: str = ""):
         self.pg.add_edge_data(df, vertex_col_names, type_name=edge_type)
         self._graph_cache = None
+        self._rev_core = None
 
     # ---- graph views (ref CuGraphStore :125-148, :320-326) -----------------
     @property

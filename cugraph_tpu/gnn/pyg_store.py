@@ -204,7 +204,12 @@ class PyGStore:
 
         if attr.is_set("index") and attr.index is not None:
             df = df.set_index(VERTEX_COL).loc[np.asarray(attr.index)]
-        return jnp.asarray(df[list(props)].to_numpy(dtype=np.float32))
+        dtype = (
+            attr.dtype
+            if attr.is_set("dtype") and attr.dtype is not None
+            else (named.dtype if named and named.dtype is not None else np.float32)
+        )
+        return jnp.asarray(df[list(props)].to_numpy(dtype=dtype))
 
     def multi_get_tensor(self, attrs):
         return [self.get_tensor(a) for a in attrs]
@@ -245,7 +250,10 @@ class PyGStore:
         )
         srcs = np.asarray(res["sources"])
         dsts = np.asarray(res["destinations"])
-        nodes = np.unique(np.concatenate([srcs, dsts]))
+        seeds = np.asarray(g.to_internal(np.atleast_1d(index)))
+        # seeds with no sampled edges must still be in the node set (the
+        # loader fetches features for every input seed)
+        nodes = np.unique(np.concatenate([seeds, srcs, dsts]))
         local = {int(v): i for i, v in enumerate(nodes)}
         row = np.array([local[int(v)] for v in srcs], dtype=np.int64)
         col = np.array([local[int(v)] for v in dsts], dtype=np.int64)

@@ -75,8 +75,11 @@ def default_config_for(num_vertices: int) -> Spmv2Config:
     (kernel VMEM unchanged); layers = PR//BR shrinks accordingly, lowering
     the effective heavy threshold — heavy traffic rides the dense hub
     path anyway."""
-    br = -(-num_vertices // (LANES * 64))
-    br = max(512, min(2048, -(-br // 8) * 8))
+    need = -(-num_vertices // (LANES * 64))
+    # bin_rows must divide part_rows (2048): round UP to the next divisor
+    for br in (512, 1024, 2048):
+        if br >= need:
+            break
     return Spmv2Config(bin_rows=br)
 
 

@@ -69,6 +69,7 @@ class CugraphHandler:
 
     def delete_graph(self, graph_id: int) -> None:
         self._pg(graph_id)
+        self._dist.pop(graph_id, None)
         if graph_id == DEFAULT_GRAPH_ID:
             self._graphs[DEFAULT_GRAPH_ID] = PropertyGraph()
         else:
@@ -107,6 +108,7 @@ class CugraphHandler:
             csv_file_name, sep=delimiter, header=header, names=names
         )
         self._pg(graph_id).add_vertex_data(df, vertex_col_name, type_name=type_name)
+        self._dist.pop(graph_id, None)  # mesh backing is stale after loads
 
     def load_csv_as_edge_data(
         self,
@@ -126,6 +128,7 @@ class CugraphHandler:
         self._pg(graph_id).add_edge_data(
             df, tuple(vertex_col_names), type_name=type_name
         )
+        self._dist.pop(graph_id, None)  # mesh backing is stale after loads
 
     def get_graph_vertex_data(
         self, graph_id: int = DEFAULT_GRAPH_ID, vertex_ids=None, types=None
