@@ -157,10 +157,16 @@ class Graph:
 
     def out_weight_sums(self) -> jax.Array:
         adj = self.csr()
+        if adj.weights is None:
+            # unweighted: weight sum == degree, an O(V) offsets diff (the
+            # O(E) XLA segment_sum costs ~370 ms at 33M edges on TPU)
+            return adj.degrees().astype(NP_WEIGHT_DTYPE)
         return _segment_sum_by_major(adj)
 
     def in_weight_sums(self) -> jax.Array:
         adj = self.csc()
+        if adj.weights is None:
+            return adj.degrees().astype(NP_WEIGHT_DTYPE)
         return _segment_sum_by_major(adj)
 
     def has_self_loops(self) -> bool:
