@@ -133,13 +133,20 @@ def mg_pagerank(
     nstart=None,
     fail_on_nonconvergence: bool = False,
     gather_mode: str = "all_gather",
+    sorted_layouts=None,
+    sorted_interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Returns (pageranks (R, C, vp) sharded, iterations).
 
     Full SG API parity (ref pagerank_impl.cuh personalization path):
     personalization is a replicated (vertex_ids, values) pair; nstart a
     global (V,) start vector. gather_mode="ring" uses the bounded-memory
-    ppermute ring (peak src-value temp ∝ vp, not R*vp)."""
+    ppermute ring (peak src-value temp ∝ vp, not R*vp).
+
+    sorted_layouts (mg_sorted.build_device_layouts): per-device sorted
+    Benes pipelines replace the XLA segment reduce in the power iteration
+    (TPU backends; sorted_interpret=True runs them in Pallas interpret
+    mode for CPU testing)."""
     v = mgg.num_vertices
     has_pers = personalization is not None
     if has_pers:
@@ -157,15 +164,35 @@ def mg_pagerank(
             mesh, mgg, np.zeros(v, dtype=np.float32)
         )
 
+    if sorted_layouts is not None:
+        from .mg_sorted import layout_args, layout_specs
+
+        lay_args = layout_args(sorted_layouts)
+        lay_specs = layout_specs(sorted_layouts)
+    else:
+        lay_args, lay_specs = (), ()
+    n_lay = len(lay_args)
+
     @partial(jax.jit, static_argnames=("max_iterations", "use_pers", "use_nstart"))
     def run_jit(alpha_, tol_, max_iterations, use_pers, use_nstart, pid, pval, pr_in, *args):
         @partial(
             shard_map,
             mesh=mesh,
-            in_specs=(P(), P(), VERT) + tuple([BLOCK] * len(args)),
+            in_specs=(P(), P(), VERT)
+            + tuple([BLOCK] * (len(args) - n_lay))
+            + lay_specs,
             out_specs=(VERT, P(), P()),
+            # pallas grid loops carry mixed varying/invariant buffers that
+            # trip the vma checker (jax-ml/jax: "Scan carry ... mismatched
+            # varying manual axes"); semantics are unaffected
+            check_vma=not n_lay,
         )
         def run(pid, pval, pr_in, *gargs):
+            if n_lay:
+                from .mg_sorted import local_layout
+
+                lay_local = local_layout(sorted_layouts, gargs[-n_lay:])
+                gargs = gargs[:-n_lay]
             srcs, dsts, w, _ = _split_args(gargs, mgg.weighted)
             srcs, dsts, w = _edge_args(mgg, srcs, dsts, w)
             gid, vmask = _local_ids(mgg)
@@ -207,10 +234,15 @@ def mg_pagerank(
             def body(state):
                 pr, _, it = state
                 msg = pr * inv_out
-                agg = mg_prims.per_v_transform_reduce_incoming_e(
-                    srcs, dsts, w, mgg.vp, e_op, src_values=msg,
-                    mode=gather_mode,
-                )
+                if n_lay:
+                    agg = mg_prims.per_v_incoming_sorted(
+                        lay_local, msg, mgg.vp, interpret=sorted_interpret
+                    )
+                else:
+                    agg = mg_prims.per_v_transform_reduce_incoming_e(
+                        srcs, dsts, w, mgg.vp, e_op, src_values=msg,
+                        mode=gather_mode,
+                    )
                 d_sum = mg_prims.transform_reduce_v(jnp.where(dangling, pr, 0.0))
                 new = alpha_ * (agg + d_sum * reset) + (1.0 - alpha_) * reset
                 new = jnp.where(vmask, new, 0.0)
@@ -234,6 +266,7 @@ def mg_pagerank(
         p_vals,
         pr_start,
         *_graph_args(mgg),
+        *lay_args,
     )
     if fail_on_nonconvergence:
         from ..utils.error import expects

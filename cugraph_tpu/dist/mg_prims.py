@@ -540,3 +540,16 @@ def frontier_push_by_dst(
         > 0
     )
     return touched, reduced
+
+
+def per_v_incoming_sorted(layout_local, msg, vp: int, interpret: bool = False):
+    """Pull-reduce over this device's edge blocks through the sorted Benes
+    pipeline (sum only): x = gathered column span, y = C stacked per-block
+    dst partials, merged to the owner range. The per-device analog of the
+    single-chip sorted SpMV (dist/mg_sorted.py builds the layouts)."""
+    from ..prims.pallas.spmv2 import _sorted_spmv_jit
+
+    x_span = gather_src_values(msg)  # (R*vp,)
+    y = _sorted_spmv_jit(layout_local, x_span, interpret)
+    partials = y.reshape(-1, vp)  # (C, vp)
+    return _merge_dst_partials(partials, PLUS)

@@ -865,6 +865,18 @@ def _group_max(sorted_keys: np.ndarray, vals: np.ndarray) -> np.ndarray:
 # ===========================================================================
 
 
+def _out_struct(shape, dtype, *ops):
+    """ShapeDtypeStruct whose varying-mesh-axes (shard_map vma) are the
+    union of the operands' — required when the pipeline runs per-device
+    inside shard_map (dist/mg_sorted.py)."""
+    vma = frozenset()
+    for o in ops:
+        vma = vma | (getattr(jax.typeof(o), "vma", None) or frozenset())
+    if vma:
+        return jax.ShapeDtypeStruct(shape, dtype, vma=vma)
+    return jax.ShapeDtypeStruct(shape, dtype)
+
+
 def _apply_benes_block(x, lo, hi, rows, lanes=LANES):
     """Apply packed Benes switch bits to a (rows, lanes) f32 block.
 
@@ -962,7 +974,9 @@ def _expand_call(layout, table, interpret, reduce="sum"):
     return pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((slot_rows, LANES), jnp.float32),
+        out_shape=_out_struct(
+            (slot_rows, LANES), jnp.float32, table, layout.idx, layout.w
+        ),
         interpret=interpret,
     )(layout.prow, table, layout.idx, layout.w)
 
@@ -982,7 +996,9 @@ def _slab_benes_call(layout, vals, interpret):
         grid=(layout.n_slabs,),
         in_specs=[spec, spec, spec],
         out_specs=spec,
-        out_shape=jax.ShapeDtypeStruct(vals.shape, jnp.float32),
+        out_shape=_out_struct(
+            vals.shape, jnp.float32, vals, layout.route1_lo
+        ),
         interpret=interpret,
     )(vals, layout.route1_lo, layout.route1_hi)
 
@@ -1012,8 +1028,8 @@ def _assemble_call(layout, binned, interpret):
     return pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct(
-            (layout.n_parts * PR, LANES), jnp.float32
+        out_shape=_out_struct(
+            (layout.n_parts * PR, LANES), jnp.float32, binned, layout.chunk_src
         ),
         interpret=interpret,
     )(layout.chunk_src, layout.chunk_dst, binned)
@@ -1103,8 +1119,8 @@ def _sort_reduce_call(layout, pblocks, interpret, reduce="sum"):
     return pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct(
-            (layout.out_blocks * BR, LANES), jnp.float32
+        out_shape=_out_struct(
+            (layout.out_blocks * BR, LANES), jnp.float32, pblocks, layout.mode
         ),
         compiler_params=None
         if interpret
@@ -1288,7 +1304,9 @@ def _sort_reduce_pair_call(layout, pblocks, interpret):
             for _ in range(2)
         ),
     )
-    out = jax.ShapeDtypeStruct((layout.out_blocks * BR, LANES), jnp.float32)
+    out = _out_struct(
+        (layout.out_blocks * BR, LANES), jnp.float32, pblocks, layout.mode
+    )
     return pl.pallas_call(
         kern,
         grid_spec=grid_spec,

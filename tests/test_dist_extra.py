@@ -527,3 +527,31 @@ def test_mg_louvain_full_dendrogram_on_mesh(mesh):
     assert plant_agreement(np.asarray(labels)) >= min(
         plant_agreement(np.asarray(labels_sg)), 0.9
     )
+
+
+def test_mg_pagerank_sorted_engine(mesh):
+    """Per-device sorted-pipeline layouts (padded/stacked, interpret mode)
+    reproduce the XLA-reduce MG pagerank exactly on every mesh shape."""
+    import cugraph_tpu as cg
+    from cugraph_tpu.dist import mg_algos
+    from cugraph_tpu.dist.mg_graph import distribute_graph, unshard_vertex_values
+    from cugraph_tpu.dist.mg_sorted import build_device_layouts
+    from cugraph_tpu.prims.pallas.spmv2 import TINY
+
+    rng = np.random.default_rng(5)
+    v, e = 220, 1600
+    src = rng.integers(0, v, e)
+    dst = rng.integers(0, v, e)
+    g = cg.from_edgelist(src, dst, num_vertices=v)
+    mgg = distribute_graph(mesh, g)
+    stacked = build_device_layouts(mesh, mgg, cfg=TINY)
+    pr_s, it_s = mg_algos.mg_pagerank(
+        mesh, mgg, tol=1e-10, max_iterations=30,
+        sorted_layouts=stacked, sorted_interpret=True,
+    )
+    pr_x, it_x = mg_algos.mg_pagerank(mesh, mgg, tol=1e-10, max_iterations=30)
+    np.testing.assert_allclose(
+        unshard_vertex_values(mgg, pr_s),
+        unshard_vertex_values(mgg, pr_x),
+        rtol=1e-5, atol=1e-8,
+    )
