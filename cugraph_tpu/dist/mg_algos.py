@@ -71,6 +71,26 @@ def _split_args(args, weighted: bool):
     return args[0], args[1], None, args[2:]
 
 
+def _sorted_args(sorted_layouts):
+    """(extra shard_map args, their specs, count) for per-device sorted
+    layouts (dist/mg_sorted.py); empty when not provided."""
+    if sorted_layouts is None:
+        return (), (), 0
+    from .mg_sorted import layout_args, layout_specs
+
+    la = layout_args(sorted_layouts)
+    return la, layout_specs(sorted_layouts), len(la)
+
+
+def _sorted_local(sorted_layouts, n_lay, gargs):
+    """Split the layout arg slices off gargs and rebuild the local layout."""
+    if not n_lay:
+        return None, gargs
+    from .mg_sorted import local_layout
+
+    return local_layout(sorted_layouts, gargs[-n_lay:]), gargs[:-n_lay]
+
+
 def mg_out_weight_sums(mesh: Mesh, mgg: MGGraph) -> jax.Array:
     """Per-vertex out weight sums (degrees if unweighted), sharded."""
 
@@ -479,18 +499,23 @@ def mg_katz_centrality(
     beta: float = 1.0,
     max_iterations: int = 1000,
     tol: float = 1.0e-6,
+    sorted_layouts=None,
+    sorted_interpret: bool = False,
 ) -> jax.Array:
     v = mgg.num_vertices
+    lay_args, lay_specs, n_lay = _sorted_args(sorted_layouts)
 
     @partial(jax.jit, static_argnames=("max_iterations",))
     def run_jit(alpha_, beta_, tol_, max_iterations, *args):
         @partial(
             shard_map,
             mesh=mesh,
-            in_specs=tuple([BLOCK] * len(args)),
+            in_specs=tuple([BLOCK] * (len(args) - n_lay)) + lay_specs,
             out_specs=VERT,
+            check_vma=not n_lay,
         )
         def run(*gargs):
+            lay_local, gargs = _sorted_local(sorted_layouts, n_lay, gargs)
             srcs, dsts, w, _ = _split_args(gargs, mgg.weighted)
             srcs, dsts, w = _edge_args(mgg, srcs, dsts, w)
             gid, vmask = _local_ids(mgg)
@@ -504,9 +529,15 @@ def mg_katz_centrality(
 
             def body(state):
                 x, _, it = state
-                new = alpha_ * mg_prims.per_v_transform_reduce_incoming_e(
-                    srcs, dsts, w, mgg.vp, e_op, src_values=x
-                ) + beta_
+                if n_lay:
+                    agg = mg_prims.per_v_incoming_sorted(
+                        lay_local, x, mgg.vp, interpret=sorted_interpret
+                    )
+                else:
+                    agg = mg_prims.per_v_transform_reduce_incoming_e(
+                        srcs, dsts, w, mgg.vp, e_op, src_values=x
+                    )
+                new = alpha_ * agg + beta_
                 new = jnp.where(vmask, new, 0.0)
                 diff = mg_prims.transform_reduce_v(jnp.abs(new - x))
                 return new, diff, it + 1
@@ -526,6 +557,7 @@ def mg_katz_centrality(
         jnp.asarray(tol, WEIGHT_DTYPE),
         max_iterations,
         *_graph_args(mgg),
+        *lay_args,
     )
 
 
@@ -539,18 +571,23 @@ def mg_eigenvector_centrality(
     mgg: MGGraph,
     max_iterations: int = 1000,
     tol: float = 1.0e-6,
+    sorted_layouts=None,
+    sorted_interpret: bool = False,
 ) -> jax.Array:
     v = mgg.num_vertices
+    lay_args, lay_specs, n_lay = _sorted_args(sorted_layouts)
 
     @partial(jax.jit, static_argnames=("max_iterations",))
     def run_jit(tol_, max_iterations, *args):
         @partial(
             shard_map,
             mesh=mesh,
-            in_specs=tuple([BLOCK] * len(args)),
+            in_specs=tuple([BLOCK] * (len(args) - n_lay)) + lay_specs,
             out_specs=VERT,
+            check_vma=not n_lay,
         )
         def run(*gargs):
+            lay_local, gargs = _sorted_local(sorted_layouts, n_lay, gargs)
             srcs, dsts, w, _ = _split_args(gargs, mgg.weighted)
             srcs, dsts, w = _edge_args(mgg, srcs, dsts, w)
             gid, vmask = _local_ids(mgg)
@@ -564,9 +601,15 @@ def mg_eigenvector_centrality(
 
             def body(state):
                 x, _, it = state
-                new = mg_prims.per_v_transform_reduce_incoming_e(
-                    srcs, dsts, w, mgg.vp, e_op, src_values=x
-                ) + x
+                if n_lay:
+                    agg = mg_prims.per_v_incoming_sorted(
+                        lay_local, x, mgg.vp, interpret=sorted_interpret
+                    )
+                else:
+                    agg = mg_prims.per_v_transform_reduce_incoming_e(
+                        srcs, dsts, w, mgg.vp, e_op, src_values=x
+                    )
+                new = agg + x
                 new = jnp.where(vmask, new, 0.0)
                 norm2 = mg_prims.transform_reduce_v(new * new)
                 new = new / jnp.maximum(jnp.sqrt(norm2), 1e-30)
@@ -581,7 +624,9 @@ def mg_eigenvector_centrality(
 
         return run(*args)
 
-    return run_jit(jnp.asarray(tol, WEIGHT_DTYPE), max_iterations, *_graph_args(mgg))
+    return run_jit(
+        jnp.asarray(tol, WEIGHT_DTYPE), max_iterations, *_graph_args(mgg), *lay_args
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -647,7 +692,9 @@ def mg_hits(
 
         return run(*args)
 
-    return run_jit(jnp.asarray(tol, WEIGHT_DTYPE), max_iterations, *_graph_args(mgg))
+    return run_jit(
+        jnp.asarray(tol, WEIGHT_DTYPE), max_iterations, *_graph_args(mgg), *lay_args
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -555,3 +555,32 @@ def test_mg_pagerank_sorted_engine(mesh):
         unshard_vertex_values(mgg, pr_x),
         rtol=1e-5, atol=1e-8,
     )
+
+
+def test_mg_katz_eigenvector_sorted_engine(mesh, karate_sg, karate_mg):
+    """Katz + eigenvector on the per-device sorted pipeline match the
+    XLA-reduce results."""
+    from cugraph_tpu.dist.mg_sorted import build_device_layouts
+    from cugraph_tpu.prims.pallas.spmv2 import TINY
+
+    stacked = build_device_layouts(mesh, karate_mg, cfg=TINY)
+    k_x = mg_algos.mg_katz_centrality(mesh, karate_mg, alpha=0.05, tol=1e-9)
+    k_s = mg_algos.mg_katz_centrality(
+        mesh, karate_mg, alpha=0.05, tol=1e-9,
+        sorted_layouts=stacked, sorted_interpret=True,
+    )
+    np.testing.assert_allclose(
+        unshard_vertex_values(karate_mg, k_s),
+        unshard_vertex_values(karate_mg, k_x),
+        rtol=1e-5, atol=1e-7,
+    )
+    e_x = mg_algos.mg_eigenvector_centrality(mesh, karate_mg, tol=1e-8)
+    e_s = mg_algos.mg_eigenvector_centrality(
+        mesh, karate_mg, tol=1e-8,
+        sorted_layouts=stacked, sorted_interpret=True,
+    )
+    np.testing.assert_allclose(
+        unshard_vertex_values(karate_mg, e_s),
+        unshard_vertex_values(karate_mg, e_x),
+        rtol=1e-4, atol=1e-6,
+    )
