@@ -693,7 +693,7 @@ def mg_hits(
         return run(*args)
 
     return run_jit(
-        jnp.asarray(tol, WEIGHT_DTYPE), max_iterations, *_graph_args(mgg), *lay_args
+        jnp.asarray(tol, WEIGHT_DTYPE), max_iterations, *_graph_args(mgg)
     )
 
 
