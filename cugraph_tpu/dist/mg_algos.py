@@ -780,24 +780,37 @@ def mg_core_number(
 
 
 def mg_spmm_aggregate(
-    mesh: Mesh, mgg: MGGraph, features: jax.Array, op: str = "mean"
+    mesh: Mesh,
+    mgg: MGGraph,
+    features: jax.Array,
+    op: str = "mean",
+    sorted_layouts=None,
+    sorted_interpret: bool = False,
 ) -> jax.Array:
     """features: (R, C, vp, F) sharded -> aggregated (R, C, vp, F).
 
     The distributed SpMM of the BASELINE GraphSAGE config: feature rows
     gathered along "row" (column span), partial products reduced to the
-    dst owner along "col"."""
+    dst owner along "col". sorted_layouts (mg_sorted, sum/mean only):
+    per-device paired-bf16 sorted pipeline instead of the XLA reduce."""
     assert op in ("sum", "mean", "max")
+    lay_args, lay_specs, n_lay = _sorted_args(
+        sorted_layouts if op != "max" else None
+    )
 
     @partial(jax.jit, static_argnames=("op",))
     def run_jit(op, feats, *args):
         @partial(
             shard_map,
             mesh=mesh,
-            in_specs=(P("row", "col", None, None),) + tuple([BLOCK] * len(args)),
+            in_specs=(P("row", "col", None, None),)
+            + tuple([BLOCK] * (len(args) - n_lay))
+            + lay_specs,
             out_specs=P("row", "col", None, None),
+            check_vma=not n_lay,
         )
         def run(feats_l, *gargs):
+            lay_local, gargs = _sorted_local(sorted_layouts, n_lay, gargs)
             srcs, dsts, w, _ = _split_args(gargs, mgg.weighted)
             srcs, dsts, w = _edge_args(mgg, srcs, dsts, w)
             x = feats_l[0, 0]  # (vp, F)
@@ -806,9 +819,14 @@ def mg_spmm_aggregate(
                 return sv
 
             red = MAXIMUM if op == "max" else PLUS
-            agg = mg_prims.per_v_transform_reduce_incoming_e(
-                srcs, dsts, w, mgg.vp, e_op, reduce_op=red, src_values=x
-            )
+            if n_lay:
+                agg = mg_prims.per_v_incoming_sorted_spmm(
+                    lay_local, x, mgg.vp, interpret=sorted_interpret
+                )
+            else:
+                agg = mg_prims.per_v_transform_reduce_incoming_e(
+                    srcs, dsts, w, mgg.vp, e_op, reduce_op=red, src_values=x
+                )
             if op == "mean":
                 def one_op(s, d, sv, dv, ww):
                     return jnp.ones(s.shape, WEIGHT_DTYPE)
@@ -823,7 +841,7 @@ def mg_spmm_aggregate(
 
         return run(feats, *args)
 
-    return run_jit(op, features, *_graph_args(mgg))
+    return run_jit(op, features, *_graph_args(mgg), *lay_args)
 
 
 # ---------------------------------------------------------------------------

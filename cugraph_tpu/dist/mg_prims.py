@@ -553,3 +553,29 @@ def per_v_incoming_sorted(layout_local, msg, vp: int, interpret: bool = False):
     y = _sorted_spmv_jit(layout_local, x_span, interpret)
     partials = y.reshape(-1, vp)  # (C, vp)
     return _merge_dst_partials(partials, PLUS)
+
+
+def per_v_incoming_sorted_spmm(
+    layout_local, feats, vp: int, interpret: bool = False
+):
+    """(vp, F) feature aggregation on the per-device sorted pipeline:
+    paired-bf16 columns share each routing pass (sum reduce; see
+    gnn/aggregators.spmm_aggregate for the precision contract)."""
+    from ..prims.pallas.spmv2 import _sorted_spmv_pair_jit
+
+    x_span = gather_src_values(feats)  # (R*vp, F)
+    f = feats.shape[1]
+    cols = jnp.swapaxes(x_span, 0, 1).astype(jnp.float32)  # (F, R*vp)
+    npair = (f + 1) // 2
+    if f % 2:
+        cols = jnp.concatenate([cols, jnp.zeros_like(cols[:1])], axis=0)
+    pairs = cols.reshape(npair, 2, -1)
+
+    def one_pair(pr):
+        ya, yb = _sorted_spmv_pair_jit(layout_local, pr[0], pr[1], interpret)
+        return jnp.stack([ya, yb])
+
+    out = jax.lax.map(one_pair, pairs)  # (npair, 2, C*vp)
+    out = out.reshape(npair * 2, -1)[:f]
+    partials = jnp.swapaxes(out, 0, 1).reshape(-1, vp, f)  # (C, vp, F)
+    return _merge_dst_partials(partials, PLUS).astype(feats.dtype)

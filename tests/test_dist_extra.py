@@ -584,3 +584,27 @@ def test_mg_katz_eigenvector_sorted_engine(mesh, karate_sg, karate_mg):
         unshard_vertex_values(karate_mg, e_x),
         rtol=1e-4, atol=1e-6,
     )
+
+
+def test_mg_spmm_sorted_engine(mesh, karate_sg, karate_mg):
+    """MG GNN aggregation on the per-device sorted pipeline (bf16 pairs)
+    matches the XLA reduce within mixed-precision tolerance."""
+    from cugraph_tpu.dist.mg_graph import shard_vertex_values
+    from cugraph_tpu.dist.mg_sorted import build_device_layouts
+    from cugraph_tpu.prims.pallas.spmv2 import TINY
+
+    rng = np.random.default_rng(9)
+    feats = rng.random((34, 6)).astype(np.float32)
+    feats_sh = shard_vertex_values(mesh, karate_mg, feats)
+    # unweighted layouts: GNN mean/sum ignores edge weights
+    stacked = build_device_layouts(mesh, karate_mg, use_weights=False, cfg=TINY)
+    agg_x = mg_algos.mg_spmm_aggregate(mesh, karate_mg, feats_sh, op="mean")
+    agg_s = mg_algos.mg_spmm_aggregate(
+        mesh, karate_mg, feats_sh, op="mean",
+        sorted_layouts=stacked, sorted_interpret=True,
+    )
+    np.testing.assert_allclose(
+        unshard_vertex_values(karate_mg, agg_s),
+        unshard_vertex_values(karate_mg, agg_x),
+        rtol=2e-2, atol=2e-2,
+    )
