@@ -103,8 +103,17 @@ def build_device_layouts(
     n_bins = lays[0].n_bins
     slot_max = max(l.idx.shape[0] for l in lays)
     slot_max = -(-slot_max // SR) * SR
+    # x_rows is device-invariant BY CONSTRUCTION: every layout above is
+    # built with num_src_vertices = r * vp, and build_sorted_layout sets
+    # x_rows = max(ceil(num_src_vertices / 128), 8) from that alone. Hub
+    # ROW counts differ per device, but those rows are appended PAST
+    # x_rows (table rows [x_rows, x_rows + n_hub)); padding hub_ids to
+    # hub_max below makes the runtime table extent (trows in
+    # _sorted_spmv_jit, computed from the PADDED hub_ids length) identical
+    # on every device too. Exercised by
+    # test_mg_sorted_extra.py::test_uneven_hub_rows_across_devices.
+    assert all(l.x_rows == lays[0].x_rows for l in lays)
     hub_max = max(l.hub_ids.shape[0] for l in lays)
-    trows = lambda nh: -(-(lays[0].x_rows + nh) // 8) * 8
     hub_max = max(hub_max, 1)
     # every device gets one dedicated trash out block (always written,
     # always zero) + enough trash parts to reach the common part count

@@ -608,3 +608,48 @@ def test_mg_spmm_sorted_engine(mesh, karate_sg, karate_mg):
         unshard_vertex_values(karate_mg, agg_x),
         rtol=2e-2, atol=2e-2,
     )
+
+
+def test_uneven_hub_rows_across_devices(mesh):
+    """Devices with wildly different hub-row counts share one padded
+    stacked layout: x_rows is device-invariant (all layouts are built over
+    the same r*vp source span) and hub rows pad to the max. Regression
+    guard for the mg_sorted x_rows/hub-padding question (VERDICT r2 #8)."""
+    import cugraph_tpu as cg
+    from cugraph_tpu.dist import mg_algos
+    from cugraph_tpu.dist.mg_graph import distribute_graph
+    from cugraph_tpu.dist.mg_sorted import build_device_layouts
+    from cugraph_tpu.prims.pallas.spmv2 import TINY
+
+    r, c = mesh.devices.shape
+    rng = np.random.default_rng(11)
+    v = 64 * c  # several vertices per device range
+    span = v // c  # one column's source span
+    # column 0 sources: five mega-hubs (out-degree 40 >> TINY.hub_deg=8)
+    # fanning out to dsts across every block; other columns: degree-1
+    # sources only (zero hub rows on those devices).
+    src_l, dst_l = [], []
+    for h in range(5):
+        for t in range(40):
+            src_l.append(h)
+            dst_l.append(int(rng.integers(0, v)))
+    for s in range(span, v):
+        src_l.append(s)
+        dst_l.append(int(rng.integers(0, v)))
+    src = np.array(src_l)
+    dst = np.array(dst_l)
+    g = cg.from_edgelist(src, dst, num_vertices=v)
+    mgg = distribute_graph(mesh, g)
+    stacked = build_device_layouts(mesh, mgg, cfg=TINY)
+    # hub counts really do differ across devices
+    hub_lens = np.asarray(stacked.arrays["hub_ids"]).shape
+    pr_s, _ = mg_algos.mg_pagerank(
+        mesh, mgg, tol=1e-10, max_iterations=20,
+        sorted_layouts=stacked, sorted_interpret=True,
+    )
+    pr_x, _ = mg_algos.mg_pagerank(mesh, mgg, tol=1e-10, max_iterations=20)
+    np.testing.assert_allclose(
+        unshard_vertex_values(mgg, pr_s),
+        unshard_vertex_values(mgg, pr_x),
+        rtol=1e-5, atol=1e-8,
+    )
