@@ -188,8 +188,27 @@ def distribute_edgelist_chunks(
         k = q_s % r
         return (((i * c + j) * c + b) * r + k).astype(np.int64)
 
-    # ---- pass 1: group counts -------------------------------------------
+    # Per-process construction: this host only ever MATERIALIZES the slabs
+    # of its OWN addressable devices (peak host RAM ∝ E / num_hosts + one
+    # chunk), then assembles the global sharded arrays from the
+    # single-device blocks — the reference's rank-local shuffle+build
+    # (create_graph_from_edgelist_impl.cuh, shuffle_wrappers.hpp:42,126).
+    # Multi-host contract: every process streams the SAME chunk source
+    # (same files / same deterministic generator, e.g. rmat_edgelist with a
+    # fixed seed) and keeps only its devices' edges — counts and slot
+    # cursors then agree across hosts without any exchange. Memory scales
+    # with E / num_hosts; the stream is re-read per host.
+    proc = jax.process_index()
+    dev_of = {}  # (i, j) -> jax device, addressable only
+    for i in range(r):
+        for j in range(c):
+            d = mesh.devices[i, j]
+            if d.process_index == proc:
+                dev_of[(i, j)] = d
+
+    # ---- pass 1: group counts (global; O(n_groups) memory) --------------
     n_groups = r * c * c * r
+    gpd = c * r  # groups per device (C blocks x R src-row groups)
     counts = np.zeros(n_groups, dtype=np.int64)
     weighted = False
     num_edges = 0
@@ -200,11 +219,20 @@ def distribute_edgelist_chunks(
         counts += np.bincount(group_ids(src, dst), minlength=n_groups)
 
     g_pad = round_up(max(int(counts.max(initial=0)), 1), LANE)
-    srcs_np = np.zeros(n_groups * g_pad, dtype=NP_VERTEX_DTYPE)
-    dsts_np = np.full(n_groups * g_pad, vp, dtype=NP_VERTEX_DTYPE)
-    w_np = np.zeros(n_groups * g_pad, dtype=NP_WEIGHT_DTYPE) if weighted else None
+    # local slabs only: (i, j) -> flat (gpd * g_pad) arrays
+    srcs_loc = {
+        ij: np.zeros(gpd * g_pad, dtype=NP_VERTEX_DTYPE) for ij in dev_of
+    }
+    dsts_loc = {
+        ij: np.full(gpd * g_pad, vp, dtype=NP_VERTEX_DTYPE) for ij in dev_of
+    }
+    w_loc = (
+        {ij: np.zeros(gpd * g_pad, dtype=NP_WEIGHT_DTYPE) for ij in dev_of}
+        if weighted
+        else None
+    )
 
-    # ---- pass 2: vectorized scatter into final slots --------------------
+    # ---- pass 2: vectorized scatter into final local slots --------------
     cursors = np.zeros(n_groups, dtype=np.int64)
     for chunk in _chunk_iter(chunks):
         src, dst, w = prep(chunk)
@@ -212,6 +240,7 @@ def distribute_edgelist_chunks(
         order = np.argsort(gid, kind="stable")
         gs = gid[order]
         n = len(gs)
+        new_counts = np.bincount(gid, minlength=n_groups)
         if not n:
             continue
         first = np.ones(n, dtype=bool)
@@ -219,108 +248,123 @@ def distribute_edgelist_chunks(
         ar = np.arange(n, dtype=np.int64)
         start_at = np.maximum.accumulate(np.where(first, ar, 0))
         rank = ar - start_at
-        slots = gs * g_pad + cursors[gs] + rank
-        j_of = (src // span).astype(np.int64)
-        srcs_np[slots] = (src - j_of * span)[order].astype(NP_VERTEX_DTYPE)
-        dsts_np[slots] = (dst % vp)[order].astype(NP_VERTEX_DTYPE)
-        if w_np is not None:
-            if w is None:
-                w = np.ones(n, dtype=NP_WEIGHT_DTYPE)
-            w_np[slots] = w[order]
-        cursors += np.bincount(gid, minlength=n_groups)
+        slots = (gs % gpd) * g_pad + cursors[gs] + rank
+        src_o = src[order]
+        dst_o = dst[order]
+        w_o = None
+        if w_loc is not None:
+            w_o = (
+                np.ones(n, dtype=NP_WEIGHT_DTYPE) if w is None else w[order]
+            )
+        dev_id = gs // gpd
+        j_of = (src_o // span).astype(np.int64)
+        src_l = (src_o - j_of * span).astype(NP_VERTEX_DTYPE)
+        dst_l = (dst_o % vp).astype(NP_VERTEX_DTYPE)
+        for ij in dev_of:
+            did = ij[0] * c + ij[1]
+            m = dev_id == did
+            if not m.any():
+                continue
+            srcs_loc[ij][slots[m]] = src_l[m]
+            dsts_loc[ij][slots[m]] = dst_l[m]
+            if w_loc is not None:
+                w_loc[ij][slots[m]] = w_o[m]
+        cursors += new_counts
 
-    # ---- per-device slab sort: order each group by local dst ------------
-    # (bounded memory: one device slab of c*r*g_pad slots at a time)
-    slab = c * r * g_pad
-    group_of = np.repeat(
-        np.arange(c * r, dtype=np.int64), g_pad
-    )  # group index within device slab
-    for d_id in range(r * c):
-        lo = d_id * slab
-        key = group_of * (vp + 2) + dsts_np[lo : lo + slab]
-        order = np.argsort(key, kind="stable")
-        srcs_np[lo : lo + slab] = srcs_np[lo + order]
-        dsts_np[lo : lo + slab] = dsts_np[lo + order]
-        if w_np is not None:
-            w_np[lo : lo + slab] = w_np[lo + order]
+    block_counts = counts.reshape(r, c, c, r).sum(axis=-1).astype(np.int32)
 
-    block_counts = (
-        counts.reshape(r, c, c, r).sum(axis=-1).astype(np.int32)
-    )
-
-    # ---- DCSR src-side adjacency per device -----------------------------
-    nzd_list, off_list, dst_list, w_list = [], [], [], []
-    max_nz, max_d = 1, 1
-    if build_src_csr:
-        sr5 = srcs_np.reshape(r, c, c, r, g_pad)
-        ds5 = dsts_np.reshape(r, c, c, r, g_pad)
-        wr5 = w_np.reshape(r, c, c, r, g_pad) if w_np is not None else None
-        for i in range(r):
-            for j in range(c):
-                ls = sr5[i, j].reshape(-1)
-                ld = ds5[i, j].reshape(-1)
-                valid = ld < vp
-                b_of = np.repeat(np.arange(c, dtype=np.int64), r * g_pad)
-                gdst = ld.astype(np.int64) + (b_of * r + i) * vp
-                s_v = ls[valid].astype(np.int64)
-                d_v = gdst[valid]
-                w_v = wr5[i, j].reshape(-1)[valid] if wr5 is not None else None
-                order = np.lexsort((d_v, s_v))
-                s_v, d_v = s_v[order], d_v[order]
-                if w_v is not None:
-                    w_v = w_v[order]
-                nzd, cnt = np.unique(s_v, return_counts=True)
-                off = np.zeros(len(nzd) + 1, dtype=np.int64)
-                np.cumsum(cnt, out=off[1:])
-                nzd_list.append(nzd)
-                off_list.append(off)
-                dst_list.append(d_v)
-                w_list.append(w_v)
-                max_nz = max(max_nz, len(nzd))
-                max_d = max(max_d, len(d_v))
-
+    # ---- per-device slab sort + DCSR, then device_put and free ----------
+    group_of = np.repeat(np.arange(c * r, dtype=np.int64), g_pad)
     shard = NamedSharding(mesh, P("row", "col"))
-    srcs = jax.device_put(srcs_np.reshape(r, c, c, r, g_pad), shard)
-    dsts = jax.device_put(dsts_np.reshape(r, c, c, r, g_pad), shard)
-    wts = (
-        jax.device_put(w_np.reshape(r, c, c, r, g_pad), shard)
-        if w_np is not None
-        else None
-    )
+    blk_shape = (c, r, g_pad)
+    src_shards, dst_shards, w_shards = [], [], []
+    dcsr_loc = {}  # (i, j) -> (nzd, off, dsts, w) unpadded
+    for ij, dev in dev_of.items():
+        i, j = ij
+        key = group_of * (vp + 2) + dsts_loc[ij]
+        order = np.argsort(key, kind="stable")
+        ls = srcs_loc[ij] = srcs_loc[ij][order]
+        ld = dsts_loc[ij] = dsts_loc[ij][order]
+        if w_loc is not None:
+            w_loc[ij] = w_loc[ij][order]
+        if build_src_csr:
+            valid = ld < vp
+            b_of = np.repeat(np.arange(c, dtype=np.int64), r * g_pad)
+            gdst = ld.astype(np.int64) + (b_of * r + i) * vp
+            s_v = ls[valid].astype(np.int64)
+            d_v = gdst[valid]
+            w_v = w_loc[ij][valid] if w_loc is not None else None
+            order2 = np.lexsort((d_v, s_v))
+            s_v, d_v = s_v[order2], d_v[order2]
+            if w_v is not None:
+                w_v = w_v[order2]
+            nzd, cnt = np.unique(s_v, return_counts=True)
+            off = np.zeros(len(nzd) + 1, dtype=np.int64)
+            np.cumsum(cnt, out=off[1:])
+            dcsr_loc[ij] = (nzd, off, d_v, w_v)
+        src_shards.append(
+            jax.device_put(ls.reshape((1, 1) + blk_shape), dev)
+        )
+        dst_shards.append(
+            jax.device_put(ld.reshape((1, 1) + blk_shape), dev)
+        )
+        srcs_loc[ij] = dsts_loc[ij] = None  # free host copies as we go
+        if w_loc is not None:
+            w_shards.append(
+                jax.device_put(w_loc[ij].reshape((1, 1) + blk_shape), dev)
+            )
+            w_loc[ij] = None
+
+    def _global_max(x: int) -> int:
+        if jax.process_count() == 1:
+            return x
+        from jax.experimental import multihost_utils  # pragma: no cover
+
+        return int(
+            np.max(multihost_utils.process_allgather(jnp.asarray(x)))
+        )
+
+    def assemble(shards, tail_shape):
+        return jax.make_array_from_single_device_arrays(
+            (r, c) + tail_shape, shard, shards
+        )
+
+    srcs = assemble(src_shards, blk_shape)
+    dsts = assemble(dst_shards, blk_shape)
+    wts = assemble(w_shards, blk_shape) if weighted else None
     bc = jax.device_put(block_counts, shard)
 
     src_nzd = src_off = src_dsts = src_w = None
     if build_src_csr:
-        nz_pad = round_up(max_nz, LANE)
-        d_pad = round_up(max_d, LANE)
-        nzd_np = np.full((r * c, nz_pad), span, dtype=NP_VERTEX_DTYPE)
-        off_np = np.zeros((r * c, nz_pad + 1), dtype=NP_VERTEX_DTYPE)
-        sd_np = np.full((r * c, d_pad), -1, dtype=NP_VERTEX_DTYPE)
-        sw_np = (
-            np.zeros((r * c, d_pad), dtype=NP_WEIGHT_DTYPE) if weighted else None
+        max_nz = _global_max(
+            max((len(t[0]) for t in dcsr_loc.values()), default=1)
         )
-        for d_id in range(r * c):
-            # loop index is (i * c + j) to match the (R, C, ...) reshape
-            nzd, off, dv, wv = (
-                nzd_list[d_id],
-                off_list[d_id],
-                dst_list[d_id],
-                w_list[d_id],
-            )
-            nzd_np[d_id, : len(nzd)] = nzd
-            off_np[d_id, 1 : len(off)] = off[1:]
-            off_np[d_id, len(off) :] = off[-1]
-            sd_np[d_id, : len(dv)] = dv
-            if sw_np is not None and wv is not None:
-                sw_np[d_id, : len(dv)] = wv
-        src_nzd = jax.device_put(nzd_np.reshape(r, c, nz_pad), shard)
-        src_off = jax.device_put(off_np.reshape(r, c, nz_pad + 1), shard)
-        src_dsts = jax.device_put(sd_np.reshape(r, c, d_pad), shard)
-        src_w = (
-            jax.device_put(sw_np.reshape(r, c, d_pad), shard)
-            if sw_np is not None
-            else None
+        max_d = _global_max(
+            max((len(t[2]) for t in dcsr_loc.values()), default=1)
         )
+        nz_pad = round_up(max(max_nz, 1), LANE)
+        d_pad = round_up(max(max_d, 1), LANE)
+        nzd_shards, off_shards, sd_shards, sw_shards = [], [], [], []
+        for ij, dev in dev_of.items():
+            nzd, off, d_v, w_v = dcsr_loc[ij]
+            nzd_np = np.full(nz_pad, span, dtype=NP_VERTEX_DTYPE)
+            nzd_np[: len(nzd)] = nzd
+            off_np = np.full(nz_pad + 1, off[-1], dtype=NP_VERTEX_DTYPE)
+            off_np[: len(off)] = off
+            sd_np = np.full(d_pad, -1, dtype=NP_VERTEX_DTYPE)
+            sd_np[: len(d_v)] = d_v
+            nzd_shards.append(jax.device_put(nzd_np.reshape(1, 1, -1), dev))
+            off_shards.append(jax.device_put(off_np.reshape(1, 1, -1), dev))
+            sd_shards.append(jax.device_put(sd_np.reshape(1, 1, -1), dev))
+            if weighted:
+                sw_np = np.zeros(d_pad, dtype=NP_WEIGHT_DTYPE)
+                if w_v is not None:
+                    sw_np[: len(d_v)] = w_v
+                sw_shards.append(jax.device_put(sw_np.reshape(1, 1, -1), dev))
+        src_nzd = assemble(nzd_shards, (nz_pad,))
+        src_off = assemble(off_shards, (nz_pad + 1,))
+        src_dsts = assemble(sd_shards, (d_pad,))
+        src_w = assemble(sw_shards, (d_pad,)) if weighted else None
 
     mgg = MGGraph(
         srcs=srcs,

@@ -67,42 +67,102 @@ def _pad_to(a: np.ndarray, n: int, axis: int = 0, fill=0) -> np.ndarray:
     return np.pad(a, pad, constant_values=fill)
 
 
+def _local_shard_blocks(mgg, use_weights: bool):
+    """Yield ((i, j), device, srcs, dsts, w) for every ADDRESSABLE shard —
+    each host touches only its own devices' edge blocks (never
+    np.asarray(mgg.srcs) of the whole mesh), so layout-build host memory
+    scales with E / num_hosts. ref: rank-local graph compression,
+    graph_impl.cuh."""
+    w_shards = {}
+    if mgg.weights is not None and use_weights:
+        for sh in mgg.weights.addressable_shards:
+            w_shards[(sh.index[0].start or 0, sh.index[1].start or 0)] = sh
+    d_shards = {}
+    for sh in mgg.dsts.addressable_shards:
+        d_shards[(sh.index[0].start or 0, sh.index[1].start or 0)] = sh
+    for sh in mgg.srcs.addressable_shards:
+        ij = (sh.index[0].start or 0, sh.index[1].start or 0)
+        s = np.asarray(sh.data)[0, 0]
+        d = np.asarray(d_shards[ij].data)[0, 0]
+        w = (
+            np.asarray(w_shards[ij].data)[0, 0]
+            if ij in w_shards
+            else None
+        )
+        yield ij, sh.device, s, d, w
+
+
+def _allgather_max(vals: np.ndarray) -> np.ndarray:
+    """Element-wise max of a small int vector across processes (identity
+    in single-process runs)."""
+    import jax
+
+    if jax.process_count() == 1:
+        return vals
+    from jax.experimental import multihost_utils  # pragma: no cover
+
+    return np.max(
+        np.asarray(multihost_utils.process_allgather(jnp.asarray(vals))),
+        axis=0,
+    )
+
+
 def build_device_layouts(
     mesh,
     mgg,
     *,
     use_weights: bool = True,
     cfg: Optional[Spmv2Config] = None,
+    variant: str = "sum",
+    direction: str = "in",
 ) -> StackedLayouts:
-    """Host-side: one sum-variant layout per device over its local edge
-    blocks, padded to common shapes and stacked (R, C, ...)."""
+    """Host-side: one layout per ADDRESSABLE device over its local edge
+    blocks, padded to (globally agreed) common shapes and assembled into
+    (R, C, ...) sharded arrays.
+
+    variant "sum" (pagerank/katz/eigenvector/GNN) or "min" (pad_weight
+    +inf; the min-plus sweeps of mg_bfs/mg_sssp — unweighted min stores
+    w=0 so the sweep returns min over in-neighbors of x[src]).
+    direction "in" (pull: x = column span (R*vp), y = C dst blocks) or
+    "out" (push-transpose for HITS: x = the C gathered dst ranges (C*vp),
+    y = column-span (R*vp) partials merged with psum_scatter over "row";
+    see mg_prims.per_v_outgoing_sorted)."""
     r, c, vp = mgg.rows, mgg.cols, mgg.vp
-    cfg = cfg or default_config_for(c * vp)
-    srcs_h = np.asarray(mgg.srcs)  # (R, C, C, R, g_pad)
-    dsts_h = np.asarray(mgg.dsts)
-    w_h = None if (mgg.weights is None or not use_weights) else np.asarray(mgg.weights)
+    cfg = cfg or default_config_for(c * vp if direction == "in" else r * vp)
+    pad = float(np.inf) if variant == "min" else 0.0
 
     lays = []
-    for i in range(r):
-        for j in range(c):
-            s = srcs_h[i, j].reshape(c, -1)  # (C, R*g_pad)
-            d = dsts_h[i, j].reshape(c, -1)
-            keep = d < vp
-            blk = np.broadcast_to(np.arange(c)[:, None], d.shape)
-            dst_flat = (blk * vp + d)[keep].astype(np.int64)
-            src_flat = s[keep].astype(np.int64)
-            ww = None if w_h is None else w_h[i, j].reshape(c, -1)[keep]
+    devs = []
+    for ij, dev, s5, d5, w5 in _local_shard_blocks(mgg, use_weights):
+        s = s5.reshape(c, -1)  # (C, R*g_pad)
+        d = d5.reshape(c, -1)
+        keep = d < vp
+        blk = np.broadcast_to(np.arange(c)[:, None], d.shape)
+        dst_flat = (blk * vp + d)[keep].astype(np.int64)
+        src_flat = s[keep].astype(np.int64)
+        ww = None if w5 is None else w5.reshape(c, -1)[keep]
+        if variant == "min" and ww is None:
+            ww = np.zeros(len(src_flat), np.float32)  # x + 0 under min
+        devs.append((ij, dev))
+        if direction == "out":
+            # push-transpose: reduce BY SRC over the column span; the
+            # "x table" side indexes the device's C dst ranges
+            lays.append(
+                build_sorted_layout_auto(
+                    src_flat, dst_flat, ww, r * vp, cfg,
+                    pad_weight=pad, num_src_vertices=c * vp,
+                )
+            )
+        else:
             lays.append(
                 build_sorted_layout_auto(
                     dst_flat, src_flat, ww, c * vp, cfg,
-                    num_src_vertices=r * vp,
+                    pad_weight=pad, num_src_vertices=r * vp,
                 )
             )
 
     SR, PR, BR, CH = cfg.slab_rows, cfg.part_rows, cfg.bin_rows, cfg.chunk_rows
     n_bins = lays[0].n_bins
-    slot_max = max(l.idx.shape[0] for l in lays)
-    slot_max = -(-slot_max // SR) * SR
     # x_rows is device-invariant BY CONSTRUCTION: every layout above is
     # built with num_src_vertices = r * vp, and build_sorted_layout sets
     # x_rows = max(ceil(num_src_vertices / 128), 8) from that alone. Hub
@@ -111,17 +171,37 @@ def build_device_layouts(
     # hub_max below makes the runtime table extent (trows in
     # _sorted_spmv_jit, computed from the PADDED hub_ids length) identical
     # on every device too. Exercised by
-    # test_mg_sorted_extra.py::test_uneven_hub_rows_across_devices.
+    # test_dist_extra.py::test_uneven_hub_rows_across_devices.
     assert all(l.x_rows == lays[0].x_rows for l in lays)
-    hub_max = max(l.hub_ids.shape[0] for l in lays)
-    hub_max = max(hub_max, 1)
+    # pad shapes must agree across ALL devices (SPMD): take process-local
+    # maxima, then an all-process max for multi-host meshes
+    gmax = _allgather_max(
+        np.asarray(
+            [
+                -(-max(l.idx.shape[0] for l in lays) // SR) * SR,
+                max(max(l.hub_ids.shape[0] for l in lays), 1),
+                max(l.out_blocks for l in lays),
+                -min(l.out_blocks for l in lays),
+                max(l.n_parts for l in lays),
+                max(l.n_steps for l in lays),
+                max(l.route2_lo.shape[0] // PR for l in lays),
+                max(l.route3_lo.shape[0] // PR for l in lays),
+                max(l.hub_dsts.shape[0] for l in lays),
+                max(l.num_edges for l in lays),
+            ],
+            dtype=np.int64,
+        )
+    )
+    slot_max, hub_max = int(gmax[0]), int(gmax[1])
     # every device gets one dedicated trash out block (always written,
     # always zero) + enough trash parts to reach the common part count
-    out_max = max(l.out_blocks for l in lays) + 1
-    parts_max = max(l.n_parts for l in lays) + (out_max - min(l.out_blocks for l in lays))
-    steps_max = max(l.n_steps for l in lays)
-    rblocks_max = max(l.route2_lo.shape[0] // PR for l in lays)
-    hubslots_max = max(l.hub_dsts.shape[0] for l in lays)
+    out_max = int(gmax[2]) + 1
+    parts_max = int(gmax[4]) + (out_max - (-int(gmax[3])))
+    steps_max = int(gmax[5])
+    rblocks_max = int(gmax[6])
+    rblocks3_max = int(gmax[7])
+    hubslots_max = int(gmax[8])
+    num_edges_max = int(gmax[9])
 
     padded = {name: [] for name in _ARRAYS}
     for lay in lays:
@@ -135,13 +215,14 @@ def build_device_layouts(
         f["hub_ids"] = _pad_to(f["hub_ids"], hub_max)
         f["route2_lo"] = _pad_to(f["route2_lo"], rblocks_max * PR)
         f["route2_hi"] = _pad_to(f["route2_hi"], rblocks_max * PR)
-        f["route3_lo"] = _pad_to(f["route3_lo"], rblocks_max * PR)
-        f["route3_hi"] = _pad_to(f["route3_hi"], rblocks_max * PR)
+        f["route3_lo"] = _pad_to(f["route3_lo"], rblocks3_max * PR)
+        f["route3_hi"] = _pad_to(f["route3_hi"], rblocks3_max * PR)
         # trash parts: the first claims this device's trash out block
         # (zeroing it); the rest revisit it consecutively
         n_extra = parts_max - lay.n_parts
         trash_block = lay.out_blocks  # one past this device's last block
         f["route_blk"] = _pad_to(f["route_blk"], parts_max)
+        f["route3_blk"] = _pad_to(f["route3_blk"], parts_max)
         f["bin_of_part"] = np.concatenate(
             [f["bin_of_part"], np.full(n_extra, trash_block, np.int32)]
         )
@@ -179,12 +260,18 @@ def build_device_layouts(
         for name in _ARRAYS:
             padded[name].append(f[name])
 
-    arrays = {
-        name: jnp.asarray(
-            np.stack(vals).reshape((r, c) + vals[0].shape)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    shard = NamedSharding(mesh, P("row", "col"))
+    arrays = {}
+    for name, vals in padded.items():
+        shards = [
+            jax.device_put(v[None, None], dev)
+            for v, (_ij, dev) in zip(vals, devs)
+        ]
+        arrays[name] = jax.make_array_from_single_device_arrays(
+            (r, c) + vals[0].shape, shard, shards
         )
-        for name, vals in padded.items()
-    }
     statics = dict(
         cfg=cfg,
         n_slabs=slot_max // SR,
@@ -192,9 +279,9 @@ def build_device_layouts(
         n_bins=n_bins,
         n_steps=steps_max,
         x_rows=lays[0].x_rows,
-        num_vertices=c * vp,
-        num_edges=max(l.num_edges for l in lays),
-        num_src=r * vp,
+        num_vertices=(c * vp) if direction == "in" else (r * vp),
+        num_edges=num_edges_max,
+        num_src=(r * vp) if direction == "in" else (c * vp),
         n_out_blocks=out_max,
     )
     return StackedLayouts(arrays=arrays, statics=statics)

@@ -52,10 +52,14 @@ def _try_load():
     ]
     lib.ct_symmetrize.argtypes = [i32p, i32p, f32p, ctypes.c_int64, i32p, i32p, f32p]
     lib.ct_symmetrize.restype = ctypes.c_int64
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    lib.ct_benes_route.argtypes = [i64p, ctypes.c_int64, u8p]
+    if hasattr(lib, "ct_radix_argsort_u64"):
+        lib.ct_radix_argsort_u64.argtypes = [u64p, ctypes.c_int64, i64p]
+        lib.ct_lane_fix_words.argtypes = [i64p, ctypes.c_int64, i32p]
     _lib = lib
     return lib
-    u8p = ctypes.POINTER(ctypes.c_uint8)
-    lib.ct_benes_route.argtypes = [i64p, ctypes.c_int64, u8p]
 
 
 
@@ -157,6 +161,38 @@ def build_csr(
         _ptr(pn, ctypes.c_int32), _ptr(pw, ctypes.c_float),
     )
     return offsets, pm, pn, pw
+
+
+def radix_argsort(keys: np.ndarray):
+    """Stable argsort of uint64 keys (C++ LSD radix); None without the lib.
+    Composite-key replacement for np.lexsort in the layout builder."""
+    lib = _try_load()
+    if lib is None or not hasattr(lib, "ct_radix_argsort_u64"):
+        return None
+    keys = np.ascontiguousarray(keys, dtype=np.uint64)
+    out = np.empty(len(keys), dtype=np.int64)
+    lib.ct_radix_argsort_u64(
+        keys.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        ctypes.c_int64(len(keys)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    return out
+
+
+def lane_fix_words(perms: np.ndarray):
+    """Batched 128-wide Benes routing packed into 13-bit words; None
+    without the lib. perms: (count, 128) int64."""
+    lib = _try_load()
+    if lib is None or not hasattr(lib, "ct_lane_fix_words"):
+        return None
+    perms = np.ascontiguousarray(perms, dtype=np.int64)
+    out = np.empty(perms.shape, dtype=np.int32)
+    lib.ct_lane_fix_words(
+        perms.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.c_int64(perms.shape[0]),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    return out
 
 
 def benes_route(perm: np.ndarray):

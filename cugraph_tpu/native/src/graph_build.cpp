@@ -260,3 +260,70 @@ void ct_benes_route(const int64_t* perm, int64_t n, uint8_t* bits) {
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// Stable LSD radix argsort over uint64 keys (8-bit digits, skipping digits
+// that are constant across the key range). Replaces np.lexsort in the
+// sorted-layout builder (spmv2.py stages 1/4/7) where composite keys fit
+// 64 bits — the host-side analog of the reference's thrust::sort ingest
+// (create_graph_from_edgelist_impl.cuh).
+// ---------------------------------------------------------------------------
+void ct_radix_argsort_u64(const uint64_t* keys, int64_t n, int64_t* order) {
+  if (n <= 0) return;
+  std::vector<int64_t> tmp(n);
+  int64_t* cur = order;
+  int64_t* alt = tmp.data();
+  for (int64_t i = 0; i < n; ++i) cur[i] = i;
+  uint64_t all_or = 0, all_and = ~uint64_t{0};
+  for (int64_t i = 0; i < n; ++i) {
+    all_or |= keys[i];
+    all_and &= keys[i];
+  }
+  uint64_t varying = all_or ^ all_and;  // bits that differ somewhere
+  for (int pass = 0; pass < 8; ++pass) {
+    int shift = pass * 8;
+    if (((varying >> shift) & 0xFF) == 0) continue;
+    int64_t hist[256] = {0};
+    for (int64_t i = 0; i < n; ++i) ++hist[(keys[cur[i]] >> shift) & 0xFF];
+    int64_t sum = 0;
+    for (int d = 0; d < 256; ++d) {
+      int64_t c = hist[d];
+      hist[d] = sum;
+      sum += c;
+    }
+    for (int64_t i = 0; i < n; ++i) {
+      int64_t o = cur[i];
+      alt[hist[(keys[o] >> shift) & 0xFF]++] = o;
+    }
+    std::swap(cur, alt);
+  }
+  if (cur != order) std::memcpy(order, cur, sizeof(int64_t) * n);
+}
+
+// ---------------------------------------------------------------------------
+// Batched 128-wide Benes routing packed to 13-bit switch words: one row per
+// permutation (the eat mode's per-row lane fix, spmv2.py). perms: count x 128
+// int64; words: count x 128 int32 (bit s = stage s switch).
+// ---------------------------------------------------------------------------
+void ct_lane_fix_words(const int64_t* perms, int64_t count, int32_t* words) {
+  const int64_t n = 128;
+  const int n_stages = 13;  // 2*7 - 1
+  parallel_for(count, [&](int64_t lo, int64_t hi) {
+    std::vector<uint8_t> bits(n_stages * n);
+    for (int64_t r = lo; r < hi; ++r) {
+      std::memset(bits.data(), 0, bits.size());
+      ct_benes_route(perms + r * n, n, bits.data());
+      int32_t* w = words + r * n;
+      for (int64_t i = 0; i < n; ++i) {
+        uint32_t acc = 0;
+        for (int s = 0; s < n_stages; ++s)
+          acc |= uint32_t(bits[s * n + i]) << s;
+        w[i] = static_cast<int32_t>(acc);
+      }
+    }
+  });
+}
+
+}  // extern "C"

@@ -103,13 +103,18 @@ class SortedLayout:
     # group-end totals to layered dst positions (layer k = chunk_id,
     # kernel merges PR//BR layers into the bin block)
     route2_lo: jax.Array  # (n_route_blocks*part_rows, 128) i32
-    route2_hi: jax.Array  # (n_route_blocks*part_rows, 128) i32 (+bits 5/6)
-    route3_lo: jax.Array  # (n_route_blocks*part_rows, 128) i32
-    route3_hi: jax.Array  # (n_route_blocks*part_rows, 128) i32
-    route_blk: jax.Array  # (n_parts,) i32 route block of part (0 = dummy)
+    route2_hi: jax.Array  # (n_route_blocks*part_rows, 128) i32; bits 0..4 =
+    #   benes stages 32+, bit 5 = segment start, bit 6 = real element,
+    #   bits 8..20 = 13-stage lane-fix benes of the eat mode (mode 2)
+    route3_lo: jax.Array  # (n_route3_blocks*part_rows, 128) i32 (mode-0 only)
+    route3_hi: jax.Array  # (n_route3_blocks*part_rows, 128) i32
+    route_blk: jax.Array  # (n_parts,) i32 route2 block of part (0 = dummy)
+    route3_blk: jax.Array  # (n_parts,) i32 route3 block (0 for modes 1/2)
     bin_of_part: jax.Array  # (n_parts,) i32
     first_flag: jax.Array  # (n_parts,) i32 1 = first part of its bin
-    mode: jax.Array  # (n_parts,) i32 0 = sorted, 1 = simple
+    mode: jax.Array  # (n_parts,) i32 0 = sorted (two benes), 1 = simple,
+    #   2 = end-at-target (group ends land AT their layered positions; the
+    #   placement benes collapses to a 13-stage in-row lane fix)
     simple_pos: jax.Array  # (n_parts,) i32 packed r*128+l dst slot (simple)
     # hub scatter map: totals of heavy dsts land in compact per-part slots
     # of out blocks n_bins..n_out_blocks; y[hub_dsts] (+)= hub_region[hub_pos]
@@ -217,7 +222,7 @@ def build_sorted_layout(
     order_nh = np.nonzero(~is_hub_e)[0]
     q_nh = srcs[order_nh] // (8 * LANES)
     lane_nh = srcs[order_nh] % LANES
-    o2 = np.lexsort((lane_nh, q_nh))
+    o2 = _argsort_u64(q_nh * LANES + lane_nh)
     order_nh = order_nh[o2]
     q_nh, lane_nh = q_nh[o2], lane_nh[o2]
     # per (page, lane): position in stack
@@ -248,7 +253,7 @@ def build_sorted_layout(
     # hub edges: hub h fills whole rows after the non-hub region
     order_h = np.nonzero(is_hub_e)[0]
     hs = srcs[order_h]
-    o3 = np.argsort(hs, kind="stable")
+    o3 = _argsort_u64(hs)
     order_h = order_h[o3]
     hs = hs[o3]
     h_first = np.ones(len(hs), dtype=bool)
@@ -325,7 +330,13 @@ def build_sorted_layout(
     in_cnt = np.bincount(dsts, minlength=v)
     assert PR % BR == 0, "part_rows must be a multiple of bin_rows"
     layers = PR // BR
-    heavy_eff = min(cfg.heavy_dst, layers * PR)
+    # heavy threshold: with >= 2 layers, cap non-hub dsts at (layers-1)*BR
+    # elements so the end-at-target placement is always per-dst feasible
+    # (chunks fill layers top-down and the partial chunk never reaches
+    # layer 0); everything bigger rides the dense hub path.
+    heavy_eff = min(
+        cfg.heavy_dst, (layers - 1) * BR if layers >= 2 else layers * PR
+    )
 
     # slab of each edge + within-slab bin grouping (pi1)
     slab_of_edge = slot_of_edge // slab_e
@@ -345,7 +356,13 @@ def build_sorted_layout(
     # build per-slab permutations + run table (one vectorized global sort:
     # edges ordered by (slab, bin, dst); runs start at row boundaries)
     pi1 = np.full(n_slabs * slab_e, -1, dtype=np.int64)  # slot -> new pos
-    gorder = np.lexsort((dsts, bin_of_edge, slab_of_edge))
+    gorder = _argsort_u64(
+        (
+            (slab_of_edge * (n_bins + 1) + bin_of_edge).astype(np.uint64)
+            << np.uint64(26)
+        )
+        + dsts.astype(np.uint64)
+    )
     sb_key = slab_of_edge[gorder] * (n_bins + 1) + bin_of_edge[gorder]
     rank_in_run = _group_ranks(sb_key)
     run_first = np.ones(len(sb_key), dtype=bool)
@@ -429,8 +446,10 @@ def build_sorted_layout(
             out.append(dict(mode=mode, dst=d, pieces=cur_pieces, bin=bi))
         return out
 
-    # fill margin: sorted parts need lane-balance slack (first-fit)
-    sorted_budget = max((PR * 3) // 4, CH)
+    # fill margin: the end-at-target band packing (and the mode-0
+    # first-fit fallback) needs some per-lane slack; 7/8 measured safe
+    # with the degree-decorrelating transposed slot map
+    sorted_budget = max((PR * 7) // 8, CH)
     for bi in range(n_bins):
         ridxs = runs_by_bin.get(bi, [])
         norm_chunks = [
@@ -442,40 +461,18 @@ def build_sorted_layout(
             bin_parts.append(dict(mode=1, dst=bi * bin_dsts, pieces=[], bin=bi))
         parts.extend(bin_parts)
 
-    # hub parts: pack the per-slab hub runs densely under the row budget
-    # with a per-dst element cap (layers * PR — the layered-chunk ceiling
-    # of one part); runs are dst-sorted so a <=cap slice is automatically
-    # <=cap per dst. Parts of a mega-hub produce partial totals; the final
-    # scatter-add merges them.
-    dst_cap = layers * PR
+    # hub parts: pack the per-slab hub runs densely under the row budget.
+    # A dst whose elements in one part exceed one pseudo-slot's capacity
+    # gets MULTIPLE compact pseudo-slots (stage 7): the final scatter-add
+    # merges duplicates, so no per-dst part splitting is needed and hub
+    # parts stay dense. Capping slots at BR elements keeps every hub band
+    # a single chunk (<= one layer tall) — always placeable end-at-target.
+    dst_cap = BR if layers >= 2 else layers * PR
     hub_pieces = []
     for ridx in runs_by_bin.get(n_bins, []):
         n_el = int(run_info[ridx][3])
-        sel = np.arange(n_el, dtype=np.int64)
-        for o in range(0, n_el, dst_cap):
-            hub_pieces.append((ridx, sel[o : o + dst_cap]))
+        hub_pieces.append((ridx, np.arange(n_el, dtype=np.int64)))
     hub_parts = pack_parts(hub_pieces, 0, None, row_budget=sorted_budget)
-    # per-dst cap across pieces of one part: split parts where the sum of
-    # one dst's elements exceeds the cap (rare: mega-hubs spanning slabs)
-    def _split_by_dst_cap(prt):
-        out, cur, cnt = [], [], {}
-        for ridx, sel in prt["pieces"]:
-            eids = run_elems[ridx][sel]
-            ud, uc = np.unique(dsts[eids], return_counts=True)
-            if cur and any(
-                cnt.get(int(d), 0) + int(c) > dst_cap
-                for d, c in zip(ud, uc)
-            ):
-                out.append(dict(mode=0, dst=None, pieces=cur, bin=None))
-                cur, cnt = [], {}
-            cur.append((ridx, sel))
-            for d, c in zip(ud, uc):
-                cnt[int(d)] = cnt.get(int(d), 0) + int(c)
-        if cur:
-            out.append(dict(mode=0, dst=None, pieces=cur, bin=None))
-        return out
-
-    hub_parts = [q for p in hub_parts for q in _split_by_dst_cap(p)]
     for j, prt in enumerate(hub_parts):
         prt["hub"] = True
         prt["bin"] = n_bins + j  # its own out block
@@ -545,9 +542,10 @@ def build_sorted_layout(
     # ---- per-part routing (pi2), flags, layered output routing ----------
     route_lo_list = [np.zeros((PR, LANES), np.int32)]  # dummy block 0
     route_hi_list = [np.zeros((PR, LANES), np.int32)]
-    route3_lo_list = [np.zeros((PR, LANES), np.int32)]
+    route3_lo_list = [np.zeros((PR, LANES), np.int32)]  # mode-0 parts only
     route3_hi_list = [np.zeros((PR, LANES), np.int32)]
     route_blk = np.zeros(n_parts, np.int32)
+    route3_blk = np.zeros(n_parts, np.int32)
     mode_np = np.zeros(n_parts, np.int32)
     simple_pos = np.zeros(n_parts, np.int32)
     bin_of_part = np.zeros(n_parts, np.int32)
@@ -566,7 +564,7 @@ def build_sorted_layout(
         if prt["mode"] == 1:
             mode_np[pid] = 1
             d_loc = int(prt["dst"]) - bi * bin_dsts
-            simple_pos[pid] = d_loc
+            simple_pos[pid] = (d_loc % BR) * LANES + d_loc // BR
             # simple parts: sum of w-expanded values of OWN elements; but
             # the block may contain foreign elements at boundary chunks.
             # Mask via route2: simple parts use a MASK block stored in the
@@ -577,30 +575,74 @@ def build_sorted_layout(
             route_blk[pid] = len(route_lo_list)
             route_lo_list.append(mask.view(np.int32).copy())
             route_hi_list.append(np.zeros((PR, LANES), np.int32))
-            route3_lo_list.append(np.zeros((PR, LANES), np.int32))
-            route3_hi_list.append(np.zeros((PR, LANES), np.int32))
             continue
-        # sorted part: first-fit lane balancing over (dst, chunk) groups.
-        # Each dst splits into chunks of <= PR elements; a chunk is placed
-        # whole on the least-delta lane with room.
+        # sorted part: first try the end-at-target placement (mode 2 —
+        # group ends land at their layered slots; 13-stage lane fix), then
+        # fall back to first-fit lane balancing + placement Benes (mode 0).
         eids = pm["elem"]
         pos = pm["pos"]  # input positions in part block
         d = dsts[eids]
         if prt.get("hub"):
             # compact per-part dst slots; the final scatter-add maps them
-            # back to global y positions
-            uniq = np.unique(d)
+            # back to global y positions. A dst with more than dst_cap
+            # elements here spans several pseudo-slots (scatter-add merges
+            # the duplicate hub_dsts entries) so one mega-hub never forces
+            # a part split and the layer capacity holds per slot.
+            od0 = np.argsort(d, kind="stable")
+            rank0 = _group_ranks(d[od0])
+            pseudo = np.zeros(len(d), np.int64)
+            pseudo[od0] = rank0 // dst_cap
+            assert pseudo.max(initial=0) < 512
+            key = d * 512 + pseudo
+            uniq, inv = np.unique(key, return_inverse=True)
             if len(uniq) > BR * LANES:
                 raise ValueError("hub part has too many distinct dsts")
-            d_loc = np.searchsorted(uniq, d)
-            hub_dst_list.append(uniq.astype(np.int64))
-            hub_pos_list.append(
-                (bi - n_bins) * (BR * LANES)
-                + np.arange(len(uniq), dtype=np.int64)
-            )
+            # spread the compact slots across rows (r_d = slot % BR): with
+            # slot = index the end-at-target rows would all collapse to
+            # r_d 0..n/128, stranding every row past n//128 (see the bin
+            # transpose note above)
+            ar = np.arange(len(uniq), dtype=np.int64)
+            slot = (ar % BR) * LANES + ar // BR
+            d_loc = slot[inv]
+            hub_dst_list.append((uniq // 512).astype(np.int64))
+            hub_pos_list.append((bi - n_bins) * (BR * LANES) + slot)
         else:
+            # TRANSPOSED within-bin slot map: dst d sits at (row d_loc %
+            # BR, lane d_loc // BR). Degree-descending renumbering makes
+            # in-degree fall with id, so the natural map (row = d_loc //
+            # 128) concentrates the heavy dsts' end slots in a few rows
+            # and starves the end-at-target packing; the transpose spreads
+            # every 512th id across each row, decorrelating degree from
+            # row. The kernel is unchanged — sorted_spmv un-transposes the
+            # dense bins with one XLA reshape+swapaxes per pass.
             d_loc = d - bi * bin_dsts
-        od = np.lexsort((pos, d_loc))
+            d_loc = (d_loc % BR) * LANES + d_loc // BR
+        assert int(d_loc.max(initial=0)) < (1 << 26) and PR * LANES <= (1 << 20)
+        eat = _try_eat_placement(d_loc, pos, PR, BR)
+        if eat is not None:
+            pos_ord, tgt, first_mask, lanefix = eat
+            mode_np[pid] = 2
+            perm = np.arange(PR * LANES, dtype=np.int64)
+            used_t = np.zeros(PR * LANES, dtype=bool)
+            used_t[tgt] = True
+            used_i = np.zeros(PR * LANES, dtype=bool)
+            used_i[pos_ord] = True
+            perm[pos_ord] = tgt
+            perm[np.nonzero(~used_i)[0]] = np.nonzero(~used_t)[0]
+            flags = np.ones(PR * LANES, dtype=bool)
+            flags[tgt] = False
+            flags[tgt[first_mask]] = True
+            real = np.zeros(PR * LANES, dtype=bool)
+            real[tgt] = True
+            pm["flags"] = flags
+            pm["real"] = real
+            pm["lanefix"] = lanefix
+            route_jobs.append((pid, perm, None))
+            route_blk[pid] = len(route_lo_list)
+            route_lo_list.append(None)  # filled after routing
+            route_hi_list.append(None)
+            continue
+        od = _argsort_u64((d_loc.astype(np.uint64) << np.uint64(20)) + pos)
         d_ord, pos_ord = d_loc[od], pos[od]
         rank = _group_ranks(d_ord)
         chunk_id = rank // PR
@@ -719,6 +761,7 @@ def build_sorted_layout(
         route_blk[pid] = len(route_lo_list)
         route_lo_list.append(None)  # filled after routing
         route_hi_list.append(None)
+        route3_blk[pid] = len(route3_lo_list)
         route3_lo_list.append(None)
         route3_hi_list.append(None)
 
@@ -727,9 +770,12 @@ def build_sorted_layout(
     def _route(job):
         pid, perm, perm2 = job
         packed = pack_bits(route_benes(perm))  # (1 or 2, n)
-        assert _n_stages(PR * LANES) <= 37, "part too large for 2 route words"
+        # eat mode reserves hi bits 8..20 for the lane fix: route stages
+        # past 32 may only use hi bits 0..7
+        assert _n_stages(PR * LANES) <= 40, "part too large for 2 route words"
         flags = part_meta[pid]["flags"]
         real = part_meta[pid]["real"]
+        lanefix = part_meta[pid].get("lanefix")
         lo = packed[0].reshape(PR, LANES)
         hi = packed[1] if packed.shape[0] > 1 else np.zeros_like(packed[0])
         hi = (
@@ -737,6 +783,12 @@ def build_sorted_layout(
             | (flags.astype(np.uint32) << 5)
             | (real.astype(np.uint32) << 6)
         ).astype(np.int32)
+        hi = hi.reshape(PR, LANES)
+        if perm2 is None:  # mode 2: lane-fix bits ride hi[8:21]
+            hi = (hi.astype(np.uint32) | (lanefix.astype(np.uint32) << 8)).astype(
+                np.int32
+            )
+            return pid, lo, hi, None, None
         packed2 = pack_bits(route_benes(perm2))
         lo3 = packed2[0].reshape(PR, LANES)
         hi3 = (
@@ -744,14 +796,15 @@ def build_sorted_layout(
             if packed2.shape[0] > 1
             else np.zeros((PR, LANES), np.int32)
         )
-        return pid, lo, hi.reshape(PR, LANES), lo3, hi3
+        return pid, lo, hi, lo3, hi3
 
     with ThreadPoolExecutor(max_workers=8) as tp:
         for pid, lo, hi, lo3, hi3 in tp.map(_route, route_jobs):
             route_lo_list[route_blk[pid]] = lo
             route_hi_list[route_blk[pid]] = hi
-            route3_lo_list[route_blk[pid]] = lo3
-            route3_hi_list[route_blk[pid]] = hi3
+            if lo3 is not None:
+                route3_lo_list[route3_blk[pid]] = lo3
+                route3_hi_list[route3_blk[pid]] = hi3
 
     route_lo_np = np.concatenate(
         [b.reshape(PR, LANES) for b in route_lo_list], axis=0
@@ -802,6 +855,7 @@ def build_sorted_layout(
         route3_lo=jnp.asarray(route3_lo_np),
         route3_hi=jnp.asarray(route3_hi_np),
         route_blk=jnp.asarray(route_blk),
+        route3_blk=jnp.asarray(route3_blk),
         bin_of_part=jnp.asarray(bin_of_part),
         first_flag=jnp.asarray(first_flag),
         mode=jnp.asarray(mode_np),
@@ -834,6 +888,19 @@ def _n_stages(n):
     return 2 * k - 1
 
 
+def _argsort_u64(keys: np.ndarray) -> np.ndarray:
+    """Stable argsort of nonnegative composite keys: native LSD radix
+    (graph_build.cpp ct_radix_argsort_u64) with a numpy fallback. The
+    builder's np.lexsort calls collapse into these single-key sorts."""
+    from ... import native
+
+    keys = np.asarray(keys)
+    out = native.radix_argsort(keys.astype(np.uint64, copy=False))
+    if out is not None:
+        return out
+    return np.argsort(keys, kind="stable")
+
+
 def _group_ranks(sorted_keys: np.ndarray) -> np.ndarray:
     """Rank within each group of equal consecutive keys."""
     n = len(sorted_keys)
@@ -858,6 +925,186 @@ def _group_max(sorted_keys: np.ndarray, vals: np.ndarray) -> np.ndarray:
     gmax = np.zeros(gid[-1] + 1, dtype=vals.dtype)
     np.maximum.at(gmax, gid, vals)
     return gmax[gid]
+
+
+_EAT_STATS = {
+    "no_layers": 0, "chunk_overflow": 0, "layer0_underflow": 0,
+    "lane_exhausted": 0, "ok": 0,
+}
+
+
+def _try_eat_placement(d_loc, pos, PR, BR):
+    """End-at-target placement for one sorted part.
+
+    Places each (dst, chunk) group so that its LAST element sits exactly at
+    row (layer * BR + d_loc // 128) — the layered output slot the old path
+    reached through a second full Benes (route3). The group's lane is free:
+    a 13-stage per-row lane Benes (over the 128 lanes, bits packed at
+    route2_hi[8:21]) fixes lanes after the segmented scan, so the 35-stage
+    placement Benes and its two (PR,128) i32 streams disappear.
+
+    Chunks are BR-sized (one layer gap each), assigned to layers from the
+    top down so partial chunks never land at layer 0 with too few rows
+    below them. Greedy lane choice: the target lane when free (keeps the
+    lane fix near-identity), else the emptiest lane (max floor).
+
+    Returns (pos_sorted, tgt, first_mask, lanefix_words) or None when the
+    part cannot be packed this way (caller falls back to the route3 path).
+    """
+    L = PR // BR
+    n = len(d_loc)
+    if L < 2 or n == 0:
+        _EAT_STATS["no_layers"] += 1
+        return None
+    od = _argsort_u64((d_loc.astype(np.uint64) << np.uint64(20)) + pos)
+    d_ord, pos_ord = d_loc[od], pos[od]
+    rank = _group_ranks(d_ord)
+    # per-dst bands: a dst's m elements form ONE contiguous m-row run in a
+    # lane, topped by full BR-sized chunks ending exactly at layer slots
+    # k*BR + r_d and a partial chunk at the bottom layer
+    uniq, ucount = np.unique(d_ord, return_counts=True)
+    m_tot = ucount.astype(np.int64)
+    n_c = -(-m_tot // BR)
+    if (n_c > L).any():
+        _EAT_STATS["chunk_overflow"] += 1
+        return None
+    m_p = m_tot - (n_c - 1) * BR  # bottom (partial) chunk size
+    r_d = (uniq // LANES).astype(np.int64)
+    tl = (uniq % LANES).astype(np.int64)
+    n_dst = len(uniq)
+
+    # lane-by-lane best-fit: at floor f, want a band ending at the layer
+    # slot closest below (r_want = (f-1) mod BR); buckets keyed by r_d,
+    # tallest-first within a bucket; a 512-bit mask finds the nearest
+    # nonempty bucket in O(1) big-int ops.
+    buckets = [[] for _ in range(BR)]
+    order = _argsort_u64(r_d * (1 << 20) + ((1 << 19) - m_tot))
+    for di in order.tolist():
+        buckets[int(r_d[di])].append(di)
+    bmask = 0
+    for b in range(BR):
+        if buckets[b]:
+            bmask |= 1 << b
+    heads = [0] * BR  # pop pointer per bucket (tallest first)
+    lane_of = np.zeros(n_dst, np.int64)
+    e_top_of = np.zeros(n_dst, np.int64)
+    remaining = n_dst
+    mt_l = m_tot.tolist()
+    nc_l = n_c.tolist()
+    mp_l = m_p.tolist()
+    for l in range(LANES):
+        if not remaining:
+            break
+        floor = PR
+        while remaining and floor > 0:
+            r_want = (floor - 1) % BR
+            below = bmask & ((1 << (r_want + 1)) - 1)
+            b = (below.bit_length() - 1) if below else (bmask.bit_length() - 1)
+            placed = False
+            while b >= 0:
+                k_max = (floor - 1 - b) // BR
+                if k_max < 0:
+                    break  # floor below every slot of any bucket <= b
+                if k_max > L - 1:
+                    k_max = L - 1
+                lst = buckets[b]
+                hd = heads[b]
+                pick = -1
+                for i in range(hd, len(lst)):
+                    di = lst[i]
+                    k_min = k_max - nc_l[di] + 1
+                    if k_min < 0:
+                        continue  # too many chunks for the remaining layers
+                    if k_min == 0 and mp_l[di] > b + 1:
+                        continue  # bottom chunk under-rowed at layer 0
+                    pick = i
+                    break
+                if pick >= 0:
+                    di = lst[pick]
+                    # swap-pop keeps tallest-first ordering approximately;
+                    # exactness does not matter for feasibility
+                    lst[hd], lst[pick] = lst[pick], lst[hd]
+                    heads[b] = hd + 1
+                    if heads[b] == len(lst):
+                        bmask &= ~(1 << b)
+                    e_top = k_max * BR + b
+                    lane_of[di] = l
+                    e_top_of[di] = e_top
+                    floor = e_top - mt_l[di] + 1
+                    remaining -= 1
+                    placed = True
+                    break
+                # nothing fits in this bucket: walk to the next lower one
+                nb = bmask & ((1 << b) - 1)
+                b = nb.bit_length() - 1 if nb else -1
+            if not placed:
+                break  # lane done; leftovers try the next lane
+    if remaining:
+        _EAT_STATS["lane_exhausted"] += 1
+        import os
+
+        if os.environ.get("SPMV2_TIMERS"):
+            print(
+                f"  eat fail: n_dst={n_dst} remaining={remaining} "
+                f"elems={int(m_tot.sum())} cap={PR * LANES} "
+                f"n_c_max={int(n_c.max())}",
+                flush=True,
+            )
+            dump = os.environ.get("SPMV2_EAT_DUMP")
+            if dump and not os.path.exists(dump):
+                np.savez(dump, d_loc=d_loc, pos=pos, PR=PR, BR=BR)
+        return None
+
+    # per-element targets: dst band rows (e_top - m + 1 .. e_top)
+    did = np.searchsorted(uniq, d_ord)
+    row_e = (e_top_of - m_tot + 1)[did] + rank
+    lane_e = lane_of[did]
+    tgt = row_e * LANES + lane_e
+    # chunk starts: the partial bottom chunk then full chunks of BR
+    mp_e = m_p[did]
+    first_mask = (rank == 0) | ((rank >= mp_e) & ((rank - mp_e) % BR == 0))
+
+    # per-row lane fix: every chunk end (k*BR + r_d, lane_of) -> lane tl.
+    # Vectorized per-row perm assembly + batched native routing
+    # (ct_lane_fix_words); per-row python fallback for tiny tests.
+    lanefix = np.zeros((PR, LANES), np.int32)
+    k_min_of = (e_top_of // BR) - n_c + 1
+    tot = int(n_c.sum())
+    dst_rep = np.repeat(np.arange(n_dst), n_c)
+    within_k = np.arange(tot) - np.repeat(np.cumsum(n_c) - n_c, n_c)
+    end_rows = (k_min_of[dst_rep] + within_k) * BR + r_d[dst_rep]
+    end_src = lane_of[dst_rep]
+    end_tgt = tl[dst_rep]
+    urows, row_gid = np.unique(end_rows, return_inverse=True)
+    n_rows = len(urows)
+    perms = np.full((n_rows, LANES), -1, np.int64)
+    perms[row_gid, end_src] = end_tgt
+    used = np.zeros((n_rows, LANES), bool)
+    used[row_gid, end_tgt] = True
+    neg = perms < 0
+    n_free = neg.sum(axis=1)
+    # ascending free-source and free-target lanes per row; equal counts
+    free_src = np.argsort(~neg, axis=1, kind="stable")
+    free_tgt = np.argsort(used, axis=1, kind="stable")
+    mfill = np.arange(LANES)[None, :] < n_free[:, None]
+    rows_idx = np.nonzero(mfill)[0]
+    perms[rows_idx, free_src[mfill]] = free_tgt[mfill]
+    nonid = np.nonzero((perms != np.arange(LANES)[None, :]).any(axis=1))[0]
+    if len(nonid):
+        from ... import native
+
+        words = native.lane_fix_words(perms[nonid])
+        if words is None:
+            words = np.zeros((len(nonid), LANES), np.int32)
+            for j, ri in enumerate(nonid):
+                bits = route_benes(perms[ri])
+                acc = np.zeros(LANES, np.uint32)
+                for s in range(bits.shape[0]):
+                    acc |= bits[s].astype(np.uint32) << s
+                words[j] = acc.astype(np.int32)
+        lanefix[urows[nonid]] = words
+    _EAT_STATS["ok"] += 1
+    return pos_ord, tgt, first_mask, lanefix
 
 
 # ===========================================================================
@@ -906,6 +1153,25 @@ def _apply_benes_block(x, lo, hi, rows, lanes=LANES):
                 pltpu.roll(x, rd, axis=0),
                 pltpu.roll(x, rows - rd, axis=0),
             )
+        x = jnp.where(bit, z, x)
+    return x
+
+
+def _apply_lane_benes(x, words, shift, lanes=LANES):
+    """13-stage per-row lane Benes: each row's 128 lanes are permuted by
+    the switch bits packed at words[shift : shift+13] (the eat mode's lane
+    fix; all-zero words = identity)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    for s, d in enumerate(stage_distances(lanes)):
+        bit = ((words >> (shift + s)) & 1) != 0
+        hi_m = (lane_iota & d) != 0
+        z = jnp.where(
+            hi_m,
+            pltpu.roll(x, d, axis=1),
+            pltpu.roll(x, lanes - d, axis=1),
+        )
         x = jnp.where(bit, z, x)
     return x
 
@@ -1049,7 +1315,7 @@ def _sort_reduce_call(layout, pblocks, interpret, reduce="sum"):
         return a + b if is_sum else jnp.minimum(a, b)
 
     def kern(
-        rb_ref, bp_ref, ff_ref, md_ref, sp_ref,
+        rb_ref, bp_ref, ff_ref, md_ref, sp_ref, rb3_ref,
         v_ref, lo_ref, hi_ref, lo3_ref, hi3_ref, o_ref,
     ):
         t = pl.program_id(0)
@@ -1078,7 +1344,7 @@ def _sort_reduce_call(layout, pblocks, interpret, reduce="sum"):
             cur = o_ref[pl.ds(base, 8), :]
             o_ref[pl.ds(base, 8), :] = merge(cur, upd)
 
-        @pl.when(md_ref[t] == 0)
+        @pl.when(md_ref[t] != 1)
         def _():
             x = _apply_benes_block(v_ref[:], lo_ref[:], hi_ref[:], PR)
             flags = ((hi_ref[:] >> 5) & 1).astype(jnp.float32)
@@ -1092,14 +1358,25 @@ def _sort_reduce_call(layout, pblocks, interpret, reduce="sum"):
             is_end = jnp.where(row_iota == PR - 1, 1.0, nxt)
             real = ((hi_ref[:] >> 6) & 1).astype(jnp.float32)
             masked = jnp.where((is_end > 0) & (real > 0), scan, IDENT)
-            z = _apply_benes_block(masked, lo3_ref[:], hi3_ref[:], PR)
-            acc = z[0:BR, :]
-            for k in range(1, LAYERS):
-                acc = merge(acc, z[k * BR : (k + 1) * BR, :])
-            o_ref[:] = merge(o_ref[:], acc)
+
+            # placement: mode 0 = full benes to layered slots; mode 2 =
+            # ends already AT their layered slots, 13-stage lane fix only
+            def finish(z):
+                acc = z[0:BR, :]
+                for k in range(1, LAYERS):
+                    acc = merge(acc, z[k * BR : (k + 1) * BR, :])
+                o_ref[:] = merge(o_ref[:], acc)
+
+            @pl.when(md_ref[t] == 0)
+            def _():
+                finish(_apply_benes_block(masked, lo3_ref[:], hi3_ref[:], PR))
+
+            @pl.when(md_ref[t] == 2)
+            def _():
+                finish(_apply_lane_benes(masked, hi_ref[:], 8))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
+        num_scalar_prefetch=6,
         grid=(layout.n_parts,),
         in_specs=[
             pl.BlockSpec(
@@ -1111,7 +1388,13 @@ def _sort_reduce_call(layout, pblocks, interpret, reduce="sum"):
                 (PR, LANES), lambda t, *p: (p[0][t], 0), memory_space=pltpu.VMEM
             )
         ]
-        * 4,
+        * 2
+        + [
+            pl.BlockSpec(
+                (PR, LANES), lambda t, *p: (p[5][t], 0), memory_space=pltpu.VMEM
+            )
+        ]
+        * 2,
         out_specs=pl.BlockSpec(
             (BR, LANES), lambda t, *p: (p[1][t], 0), memory_space=pltpu.VMEM
         ),
@@ -1134,6 +1417,7 @@ def _sort_reduce_call(layout, pblocks, interpret, reduce="sum"):
         layout.first_flag,
         layout.mode,
         layout.simple_pos,
+        layout.route3_blk,
         pblocks,
         layout.route2_lo,
         layout.route2_hi,
@@ -1227,7 +1511,7 @@ def _sort_reduce_pair_call(layout, pblocks, interpret):
     LAYERS = PR // BR
 
     def kern(
-        rb_ref, bp_ref, ff_ref, md_ref, sp_ref,
+        rb_ref, bp_ref, ff_ref, md_ref, sp_ref, rb3_ref,
         v_ref, lo_ref, hi_ref, lo3_ref, hi3_ref, oa_ref, ob_ref,
     ):
         t = pl.program_id(0)
@@ -1258,7 +1542,7 @@ def _sort_reduce_pair_call(layout, pblocks, interpret):
                 sel, tb, 0.0
             )
 
-        @pl.when(md_ref[t] == 0)
+        @pl.when(md_ref[t] != 1)
         def _():
             x = _apply_benes_block(v_ref[:], lo_ref[:], hi_ref[:], PR)
             flags = ((hi_ref[:] >> 5) & 1).astype(jnp.float32)
@@ -1273,18 +1557,27 @@ def _sort_reduce_pair_call(layout, pblocks, interpret):
             packed = _pack_pair(
                 jnp.where(keep, sa, 0.0), jnp.where(keep, sb, 0.0)
             )
-            z = _apply_benes_block(packed, lo3_ref[:], hi3_ref[:], PR)
-            za, zb = _unpack_pair(z)
-            acc_a = za[0:BR, :]
-            acc_b = zb[0:BR, :]
-            for k in range(1, LAYERS):
-                acc_a = acc_a + za[k * BR : (k + 1) * BR, :]
-                acc_b = acc_b + zb[k * BR : (k + 1) * BR, :]
-            oa_ref[:] = oa_ref[:] + acc_a
-            ob_ref[:] = ob_ref[:] + acc_b
+
+            def finish(z):
+                za, zb = _unpack_pair(z)
+                acc_a = za[0:BR, :]
+                acc_b = zb[0:BR, :]
+                for k in range(1, LAYERS):
+                    acc_a = acc_a + za[k * BR : (k + 1) * BR, :]
+                    acc_b = acc_b + zb[k * BR : (k + 1) * BR, :]
+                oa_ref[:] = oa_ref[:] + acc_a
+                ob_ref[:] = ob_ref[:] + acc_b
+
+            @pl.when(md_ref[t] == 0)
+            def _():
+                finish(_apply_benes_block(packed, lo3_ref[:], hi3_ref[:], PR))
+
+            @pl.when(md_ref[t] == 2)
+            def _():
+                finish(_apply_lane_benes(packed, hi_ref[:], 8))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
+        num_scalar_prefetch=6,
         grid=(layout.n_parts,),
         in_specs=[
             pl.BlockSpec(
@@ -1296,7 +1589,13 @@ def _sort_reduce_pair_call(layout, pblocks, interpret):
                 (PR, LANES), lambda t, *p: (p[0][t], 0), memory_space=pltpu.VMEM
             )
         ]
-        * 4,
+        * 2
+        + [
+            pl.BlockSpec(
+                (PR, LANES), lambda t, *p: (p[5][t], 0), memory_space=pltpu.VMEM
+            )
+        ]
+        * 2,
         out_specs=tuple(
             pl.BlockSpec(
                 (BR, LANES), lambda t, *p: (p[1][t], 0), memory_space=pltpu.VMEM
@@ -1323,6 +1622,7 @@ def _sort_reduce_pair_call(layout, pblocks, interpret):
         layout.first_flag,
         layout.mode,
         layout.simple_pos,
+        layout.route3_blk,
         pblocks,
         layout.route2_lo,
         layout.route2_hi,
@@ -1358,8 +1658,8 @@ def _sorted_spmv_pair_jit(
     pblocks = _assemble_call(layout, binned, interpret)
     oa, ob = _sort_reduce_pair_call(layout, pblocks, interpret)
     nb = layout.n_bins * layout.cfg.bin_rows
-    ya = oa[:nb].reshape(-1)[:v]
-    yb = ob[:nb].reshape(-1)[:v]
+    ya = _untranspose_bins(layout, oa)
+    yb = _untranspose_bins(layout, ob)
     if layout.hub_dsts.shape[0]:
         ya = ya.at[layout.hub_dsts].add(oa[nb:].reshape(-1)[layout.hub_pos])
         yb = yb.at[layout.hub_dsts].add(ob[nb:].reshape(-1)[layout.hub_pos])
@@ -1454,13 +1754,22 @@ def _sorted_spmv_jit(
     binned = _slab_benes_call(layout, vals, interpret)
     pblocks = _assemble_call(layout, binned, interpret)
     out = _sort_reduce_call(layout, pblocks, interpret, reduce)
+    y = _untranspose_bins(layout, out)
     nb = layout.n_bins * layout.cfg.bin_rows
-    y = out[:nb].reshape(-1)[: layout.num_vertices]
     if layout.hub_dsts.shape[0]:
         hub_vals = out[nb:].reshape(-1)[layout.hub_pos]
         upd = y.at[layout.hub_dsts]
         y = upd.add(hub_vals) if reduce == "sum" else upd.min(hub_vals)
     return y
+
+
+def _untranspose_bins(layout, out):
+    """Dense-bin blocks store dst d at (row d%BR, lane d//BR) within its
+    bin (the transposed slot map that decorrelates degree from rows); one
+    reshape + swapaxes restores natural vertex order."""
+    BR = layout.cfg.bin_rows
+    dense = out[: layout.n_bins * BR].reshape(layout.n_bins, BR, LANES)
+    return jnp.swapaxes(dense, 1, 2).reshape(-1)[: layout.num_vertices]
 
 
 
@@ -1544,7 +1853,7 @@ def _layout_cache_key(
     import hashlib
 
     h = hashlib.blake2b(digest_size=16)
-    h.update(b"layout-v6")  # builder version: bump to invalidate the cache
+    h.update(b"layout-v8")  # builder version: bump to invalidate the cache
     h.update(np.int64(num_vertices).tobytes())
     if num_src_vertices is not None:
         h.update(np.int64(num_src_vertices).tobytes())
@@ -1586,6 +1895,8 @@ def load_sorted_layout(path: str) -> SortedLayout:
     if "hub_dsts" not in arrays:
         arrays["hub_dsts"] = jnp.zeros(0, jnp.int32)
         arrays["hub_pos"] = jnp.zeros(0, jnp.int32)
+    if "route3_blk" not in arrays:  # pre-eat cache files: shared block ids
+        arrays["route3_blk"] = arrays["route_blk"]
     return SortedLayout(cfg=cfg, **meta, **arrays)
 
 
