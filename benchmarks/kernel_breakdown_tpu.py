@@ -56,11 +56,10 @@ def main():
         )
         vals = S._expand_call(lay, table, False, "sum")
         binned = S._slab_benes_call(lay, vals, False)
-        pblocks = S._assemble_call(lay, binned, False)
-        y = S._sort_reduce_call(lay, pblocks, False, "sum")
-        return table, vals, binned, pblocks, y
+        y = S._sort_reduce_call(lay, binned, False, "sum")
+        return table, vals, binned, y
 
-    table, vals, binned, pblocks, y = jax.block_until_ready(stages(lay, x))
+    table, vals, binned, y = jax.block_until_ready(stages(lay, x))
 
     def slope(fn, a):
         @partial(jax.jit, static_argnames=("iters",))
@@ -85,8 +84,7 @@ def main():
     rows = [
         ("expand", lambda l, t: S._expand_call(l, t, False, "sum"), table),
         ("slab_benes", lambda l, v: S._slab_benes_call(l, v, False), vals),
-        ("assemble", lambda l, b: S._assemble_call(l, b, False), binned),
-        ("sort_reduce", lambda l, p: S._sort_reduce_call(l, p, False, "sum"), pblocks),
+        ("sort_reduce+asm", lambda l, b: S._sort_reduce_call(l, b, False, "sum"), binned),
     ]
     total = 0.0
     for name, fn, a in rows:

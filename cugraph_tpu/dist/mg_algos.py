@@ -301,31 +301,55 @@ def mg_pagerank(
 
 
 def mg_bfs(
-    mesh: Mesh, mgg: MGGraph, sources, depth_limit: Optional[int] = None
+    mesh: Mesh,
+    mgg: MGGraph,
+    sources,
+    depth_limit: Optional[int] = None,
+    sorted_layouts=None,
+    sorted_interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Returns sharded (distances, predecessors), each (R, C, vp)."""
+    """Returns sharded (distances, predecessors), each (R, C, vp).
+
+    sorted_layouts (mg_sorted.build_device_layouts(variant="min",
+    use_weights=False)): per-device min-plus Benes layouts — each level is
+    one dense sweep y[dst] = min(frontier ids) at multi-Gelem/s instead of
+    the XLA segment path (requires num_vertices <= 2^24: ids ride f32).
+    The SG direction-optimizing analog: the dense sweep IS the pull form;
+    ref bfs_impl.cuh:205-283."""
     from ..algos.traversal import INVALID_DISTANCE
 
     src_mask_np = np.zeros(mgg.num_vertices, dtype=bool)
     src_mask_np[np.atleast_1d(np.asarray(sources))] = True
     src_mask = shard_vertex_values(mesh, mgg, src_mask_np)
     limit = int(depth_limit) if depth_limit is not None else mgg.num_vertices
+    if sorted_layouts is not None and mgg.num_vertices > (1 << 24):
+        sorted_layouts = None
+    lay_args, lay_specs, n_lay = _sorted_args(sorted_layouts)
 
     @partial(jax.jit, static_argnames=("limit",))
     def run_jit(limit, mask, *args):
         @partial(
             shard_map,
             mesh=mesh,
-            in_specs=(VERT,) + tuple([BLOCK] * len(args)),
+            in_specs=(VERT,) + tuple([BLOCK] * (len(args) - n_lay))
+            + lay_specs,
             out_specs=(VERT, VERT),
+            check_vma=not n_lay,
         )
         def run(mask_l, *gargs):
+            lay_local = None
+            if n_lay:
+                lay_local, gargs = _sorted_local(
+                    sorted_layouts, n_lay, gargs
+                )
             srcs, dsts, w, _ = _split_args(gargs, mgg.weighted)
             srcs, dsts, w = _edge_args(mgg, srcs, dsts, w)
             m0 = mask_l[0, 0]
             gid, vmask = _local_ids(mgg)
             dist0 = jnp.where(m0, 0, INVALID_DISTANCE).astype(jnp.int32)
             pred0 = _pvary(jnp.full(mgg.vp, -1, jnp.int32))
+            gidf = gid.astype(jnp.float32)
+            inf = jnp.float32(jnp.inf)
 
             def e_op(s, d, sv, dv, ww):
                 return ~dv, s  # dv = visited[dst]; payload = global src id
@@ -336,16 +360,26 @@ def mg_bfs(
 
             def body(state):
                 visited, dist, pred, frontier, _, depth = state
-                touched, pred_cand = mg_prims.frontier_push_by_dst(
-                    srcs,
-                    dsts,
-                    w,
-                    mgg.vp,
-                    frontier,
-                    e_op,
-                    reduce_op=ANY,
-                    dst_values=visited,
-                )
+                if lay_local is not None:
+                    # dense min-plus sweep: y = min over in-neighbors of
+                    # the frontier ids; finite -> touched, value -> pred
+                    x = jnp.where(frontier, gidf, inf)
+                    y = mg_prims.per_v_incoming_sorted_min(
+                        lay_local, x, mgg.vp, interpret=sorted_interpret
+                    )
+                    touched = jnp.isfinite(y)
+                    pred_cand = jnp.where(touched, y, -1).astype(jnp.int32)
+                else:
+                    touched, pred_cand = mg_prims.frontier_push_by_dst(
+                        srcs,
+                        dsts,
+                        w,
+                        mgg.vp,
+                        frontier,
+                        e_op,
+                        reduce_op=ANY,
+                        dst_values=visited,
+                    )
                 new = touched & ~visited & vmask
                 dist = jnp.where(new, depth + 1, dist)
                 pred = jnp.where(new, pred_cand, pred)
@@ -360,7 +394,7 @@ def mg_bfs(
 
         return run(mask, *args)
 
-    return run_jit(limit, src_mask, *_graph_args(mgg))
+    return run_jit(limit, src_mask, *_graph_args(mgg), *lay_args)
 
 
 # ---------------------------------------------------------------------------
@@ -369,12 +403,28 @@ def mg_bfs(
 
 
 def mg_sssp(
-    mesh: Mesh, mgg: MGGraph, source, cutoff: Optional[float] = None
+    mesh: Mesh,
+    mgg: MGGraph,
+    source,
+    cutoff: Optional[float] = None,
+    sorted_layouts=None,
+    sorted_interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
+    """sorted_layouts (mg_sorted.build_device_layouts(variant="min",
+    use_weights=True)): Bellman-Ford relaxations ride the per-device
+    min-plus pipeline — one dense sweep per round and a SINGLE
+    predecessor post-pass at the end (the XLA path pays two frontier
+    pushes per level). ref sssp_impl.cuh."""
     src_mask_np = np.zeros(mgg.num_vertices, dtype=bool)
     src_mask_np[np.atleast_1d(np.asarray(source))] = True
     src_mask = shard_vertex_values(mesh, mgg, src_mask_np)
     c = jnp.asarray(cutoff if cutoff is not None else jnp.inf, WEIGHT_DTYPE)
+    lay_args, lay_specs, n_lay = _sorted_args(sorted_layouts)
+    if n_lay:
+        return _mg_sssp_sorted(
+            mesh, mgg, src_mask, c, sorted_layouts, lay_args, lay_specs,
+            n_lay, sorted_interpret,
+        )
 
     @jax.jit
     def run_jit(cutoff_, mask, *args):
@@ -431,6 +481,77 @@ def mg_sssp(
         return run(mask, *args)
 
     return run_jit(c, src_mask, *_graph_args(mgg))
+
+
+def _mg_sssp_sorted(
+    mesh, mgg, src_mask, cutoff, sorted_layouts, lay_args, lay_specs,
+    n_lay, interpret,
+):
+    """Bellman-Ford on the per-device min-plus pipeline, predecessors by
+    one tree-edge post-pass (dist[src] + w == dist[dst]); mirrors the SG
+    _sssp_pallas_jit — the pipeline and post-pass round identically in
+    f32, so the tree predicate is exact."""
+
+    @jax.jit
+    def run_jit(cutoff_, mask, *args):
+        @partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(VERT,)
+            + tuple([BLOCK] * (len(args) - n_lay))
+            + lay_specs,
+            out_specs=(VERT, VERT),
+            check_vma=False,
+        )
+        def run(mask_l, *gargs):
+            lay_local, gargs = _sorted_local(sorted_layouts, n_lay, gargs)
+            srcs, dsts, w, _ = _split_args(gargs, mgg.weighted)
+            srcs, dsts, w = _edge_args(mgg, srcs, dsts, w)
+            m0 = mask_l[0, 0]
+            gid, vmask = _local_ids(mgg)
+            inf = jnp.float32(jnp.inf)
+            dist0 = jnp.where(m0, 0.0, inf).astype(jnp.float32)
+
+            def cond(state):
+                dist, changed, it = state
+                return (changed > 0) & (it < mgg.num_vertices)
+
+            def body(state):
+                dist, _, it = state
+                relax = mg_prims.per_v_incoming_sorted_min(
+                    lay_local, dist, mgg.vp, interpret=interpret
+                )
+                relax = jnp.where(relax <= cutoff_, relax, inf)
+                nd = jnp.minimum(dist, relax)
+                changed = mg_prims.transform_reduce_v(
+                    (nd < dist).astype(jnp.int32)
+                )
+                return nd, changed, it + 1
+
+            dist, _, _ = jax.lax.while_loop(
+                cond, body, (dist0, jnp.int32(1), jnp.int32(0))
+            )
+
+            # predecessor post-pass: one full-edge push over the blocks
+            def pred_op(s, d, sv, dv, ww):
+                wval = ww if ww is not None else jnp.ones_like(sv)
+                return jnp.isfinite(dv) & (sv + wval == dv), s
+
+            frontier_all = jnp.isfinite(dist) & vmask
+            _, pred_cand = mg_prims.frontier_push_by_dst(
+                srcs, dsts, w, mgg.vp, frontier_all, pred_op,
+                reduce_op=ANY, src_values=dist, dst_values=dist,
+            )
+            pred = jnp.where(
+                jnp.isfinite(dist) & ~m0 & vmask, pred_cand, -1
+            ).astype(jnp.int32)
+            return _wrap(dist.astype(WEIGHT_DTYPE)), _wrap(pred)
+
+        return run(mask, *args)
+
+    return run_jit(
+        cutoff.astype(jnp.float32), src_mask, *_graph_args(mgg), *lay_args
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -639,16 +760,40 @@ def mg_hits(
     mgg: MGGraph,
     max_iterations: int = 100,
     tol: float = 1.0e-5,
+    sorted_layouts=None,
+    sorted_interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
+    """sorted_layouts: (pull_stacked, push_stacked) — the pull side from
+    build_device_layouts(direction="in"), the push side from
+    direction="out" (transposed per-device layouts), so both halves of
+    the hub/authority iteration ride the Benes pipeline."""
+    if sorted_layouts is not None:
+        st_in, st_out = sorted_layouts
+        ain, sin_, nin = _sorted_args(st_in)
+        aout, sout, nout = _sorted_args(st_out)
+    else:
+        st_in = st_out = None
+        ain = aout = ()
+        sin_ = sout = ()
+        nin = nout = 0
+
     @partial(jax.jit, static_argnames=("max_iterations",))
     def run_jit(tol_, max_iterations, *args):
         @partial(
             shard_map,
             mesh=mesh,
-            in_specs=tuple([BLOCK] * len(args)),
+            in_specs=tuple([BLOCK] * (len(args) - nin - nout))
+            + sin_
+            + sout,
             out_specs=(VERT, VERT),
+            check_vma=not (nin or nout),
         )
         def run(*gargs):
+            lay_in = lay_out = None
+            if nout:
+                lay_out, gargs = _sorted_local(st_out, nout, gargs)
+            if nin:
+                lay_in, gargs = _sorted_local(st_in, nin, gargs)
             srcs, dsts, w, _ = _split_args(gargs, mgg.weighted)
             srcs, dsts, w = _edge_args(mgg, srcs, dsts, w)
             gid, vmask = _local_ids(mgg)
@@ -669,13 +814,23 @@ def mg_hits(
 
             def body(state):
                 h, a, _, it = state
-                a_new = mg_prims.per_v_transform_reduce_incoming_e(
-                    srcs, dsts, w, mgg.vp, pull_op, src_values=h
-                )
+                if lay_in is not None:
+                    a_new = mg_prims.per_v_incoming_sorted(
+                        lay_in, h, mgg.vp, interpret=sorted_interpret
+                    )
+                else:
+                    a_new = mg_prims.per_v_transform_reduce_incoming_e(
+                        srcs, dsts, w, mgg.vp, pull_op, src_values=h
+                    )
                 a_new = a_new / jnp.maximum(gmax(a_new), 1e-30)
-                h_new = mg_prims.per_v_transform_reduce_outgoing_e(
-                    srcs, dsts, w, mgg.vp, push_op, dst_values=a_new
-                )
+                if lay_out is not None:
+                    h_new = mg_prims.per_v_outgoing_sorted(
+                        lay_out, a_new, mgg.vp, interpret=sorted_interpret
+                    )
+                else:
+                    h_new = mg_prims.per_v_transform_reduce_outgoing_e(
+                        srcs, dsts, w, mgg.vp, push_op, dst_values=a_new
+                    )
                 h_new = h_new / jnp.maximum(gmax(h_new), 1e-30)
                 diff = mg_prims.transform_reduce_v(jnp.abs(h_new - h))
                 return h_new, a_new, diff, it + 1
@@ -693,7 +848,8 @@ def mg_hits(
         return run(*args)
 
     return run_jit(
-        jnp.asarray(tol, WEIGHT_DTYPE), max_iterations, *_graph_args(mgg)
+        jnp.asarray(tol, WEIGHT_DTYPE), max_iterations, *_graph_args(mgg),
+        *ain, *aout,
     )
 
 

@@ -37,7 +37,7 @@ from typing import Any, Callable, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..prims.reduce_ops import PLUS, ReduceOp
+from ..prims.reduce_ops import MINIMUM, PLUS, ReduceOp
 
 ROW, COL = "row", "col"
 
@@ -555,27 +555,64 @@ def per_v_incoming_sorted(layout_local, msg, vp: int, interpret: bool = False):
     return _merge_dst_partials(partials, PLUS)
 
 
+def per_v_incoming_sorted_min(
+    layout_local, msg, vp: int, interpret: bool = False
+):
+    """Min-plus pull-reduce on per-device layouts built with
+    variant="min": y[dst] = min over local in-edges of (x[src] + w), +inf
+    where no in-edge improves. Serves mg_bfs level sweeps (unweighted,
+    w=0: min of frontier ids) and mg_sssp Bellman-Ford relaxations."""
+    from ..prims.pallas.spmv2 import _sorted_spmv_jit
+
+    x_span = gather_src_values(msg)  # (R*vp,)
+    y = _sorted_spmv_jit(layout_local, x_span, interpret, reduce="min")
+    partials = y.reshape(-1, vp)  # (C, vp)
+    return _merge_dst_partials(partials, MINIMUM)
+
+
+def per_v_outgoing_sorted(layout_local, msg, vp: int, interpret: bool = False):
+    """Push-reduce (sum) on the transposed per-device layouts
+    (build_device_layouts direction="out"): y[src] += w * x[dst] over
+    local blocks. x = the C gathered dst ranges; the (R*vp,) column-span
+    partials merge with psum_scatter over "row" (the reference's
+    update_minor path, per_v_transform_reduce_incoming_outgoing_e.cuh:
+    972-1037). Serves mg_hits' hub update."""
+    from ..prims.pallas.spmv2 import _sorted_spmv_jit
+
+    x_blocks = gather_dst_values(msg)  # (C, vp)
+    y = _sorted_spmv_jit(layout_local, x_blocks.reshape(-1), interpret)
+    return jax.lax.psum_scatter(y, ROW, scatter_dimension=0, tiled=True)
+
+
 def per_v_incoming_sorted_spmm(
     layout_local, feats, vp: int, interpret: bool = False
 ):
     """(vp, F) feature aggregation on the per-device sorted pipeline:
-    paired-bf16 columns share each routing pass (sum reduce; see
+    multi-stream passes — k paired-bf16 columns share each routing pass's
+    switch-mask extraction and route streams (sum reduce; see
     gnn/aggregators.spmm_aggregate for the precision contract)."""
-    from ..prims.pallas.spmv2 import _sorted_spmv_pair_jit
+    from ..prims.pallas.spmv2 import (
+        LANES,
+        _SORTED_VMEM_BUDGET,
+        _sorted_spmm_pass_jit,
+    )
 
     x_span = gather_src_values(feats)  # (R*vp, F)
     f = feats.shape[1]
     cols = jnp.swapaxes(x_span, 0, 1).astype(jnp.float32)  # (F, R*vp)
-    npair = (f + 1) // 2
-    if f % 2:
-        cols = jnp.concatenate([cols, jnp.zeros_like(cols[:1])], axis=0)
-    pairs = cols.reshape(npair, 2, -1)
+    tbytes = max(layout_local.x_rows * LANES * 4, 1)
+    k = max(1, min(4, _SORTED_VMEM_BUDGET * 4 // tbytes, (f + 1) // 2))
+    group = 2 * k
+    npass = -(-f // group)
+    if f % group:
+        pad = jnp.zeros((npass * group - f, cols.shape[1]), cols.dtype)
+        cols = jnp.concatenate([cols, pad], axis=0)
+    groups = cols.reshape(npass, group, -1)
 
-    def one_pair(pr):
-        ya, yb = _sorted_spmv_pair_jit(layout_local, pr[0], pr[1], interpret)
-        return jnp.stack([ya, yb])
+    def one_group(g):
+        return _sorted_spmm_pass_jit(layout_local, g, interpret)
 
-    out = jax.lax.map(one_pair, pairs)  # (npair, 2, C*vp)
-    out = out.reshape(npair * 2, -1)[:f]
+    out = jax.lax.map(one_group, groups)  # (npass, group, C*vp)
+    out = out.reshape(npass * group, -1)[:f]
     partials = jnp.swapaxes(out, 0, 1).reshape(-1, vp, f)  # (C, vp, F)
     return _merge_dst_partials(partials, PLUS).astype(feats.dtype)

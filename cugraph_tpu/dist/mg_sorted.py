@@ -246,6 +246,15 @@ def build_device_layouts(
             f["chunk_dst"] = np.concatenate(
                 [f["chunk_dst"], np.full(n_spad, tpid * (PR // CH), np.int32)]
             )
+        # trash parts issue no DMAs: chunk_off stays at its final value
+        f["chunk_off"] = np.concatenate(
+            [
+                f["chunk_off"],
+                np.full(
+                    parts_max - lay.n_parts, f["chunk_off"][-1], np.int32
+                ),
+            ]
+        )
         # padded hub slots read the (zeroed) trash block
         n_hpad = hubslots_max - f["hub_dsts"].shape[0]
         if n_hpad:

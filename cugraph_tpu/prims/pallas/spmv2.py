@@ -95,9 +95,13 @@ class SortedLayout:
     # K-B slab benes
     route1_lo: jax.Array  # (slot_rows, 128) i32 stages 0..31
     route1_hi: jax.Array  # (slot_rows, 128) i32 stages 32..36
-    # K-C1 assembly
+    # K-C1 assembly: fused into K-C2 as double-buffered in-kernel DMAs
+    # (chunk i of part p copies binned chunk chunk_src[chunk_off[p]+i] to
+    # part-block rows [i*CH, (i+1)*CH)); chunk_dst retained for the
+    # standalone _assemble_call (breakdown benchmarks, MG shape padding)
     chunk_src: jax.Array  # (n_steps,) i32 source block (chunk units)
     chunk_dst: jax.Array  # (n_steps,) i32 dest block (chunk units)
+    chunk_off: jax.Array  # (n_parts + 1,) i32 per-part chunk range
     # K-C2 sort + reduce: route2 = benes to grouped order (+flag bit5 =
     # segment start, bit6 = real element); route3 = benes routing masked
     # group-end totals to layered dst positions (layer k = chunk_id,
@@ -447,9 +451,9 @@ def build_sorted_layout(
         return out
 
     # fill margin: the end-at-target band packing (and the mode-0
-    # first-fit fallback) needs some per-lane slack; 7/8 measured safe
-    # with the degree-decorrelating transposed slot map
-    sorted_budget = max((PR * 7) // 8, CH)
+    # first-fit fallback) needs some per-lane slack; bin bands are tiny
+    # (degree-decorrelating transposed slot map), so 15/16 holds
+    sorted_budget = max((PR * 15) // 16, CH)
     for bi in range(n_bins):
         ridxs = runs_by_bin.get(bi, [])
         norm_chunks = [
@@ -472,7 +476,10 @@ def build_sorted_layout(
     for ridx in runs_by_bin.get(n_bins, []):
         n_el = int(run_info[ridx][3])
         hub_pieces.append((ridx, np.arange(n_el, dtype=np.int64)))
-    hub_parts = pack_parts(hub_pieces, 0, None, row_budget=sorted_budget)
+    # hub parts pack to the FULL block: free-target placement stacks
+    # bands contiguously (splitting on lane overflow), so any element
+    # count <= PR*128 places
+    hub_parts = pack_parts(hub_pieces, 0, None, row_budget=PR)
     for j, prt in enumerate(hub_parts):
         prt["hub"] = True
         prt["bin"] = n_bins + j  # its own out block
@@ -537,6 +544,8 @@ def build_sorted_layout(
         for c in range(pm["n_chunks"]):
             chunk_dst.append(pid * (PR // CH) + c)
     n_steps = len(chunk_src)
+    chunk_off = np.zeros(len(part_meta) + 1, np.int32)
+    np.cumsum([pm["n_chunks"] for pm in part_meta], out=chunk_off[1:])
 
     _T("stage7")
     # ---- per-part routing (pi2), flags, layered output routing ----------
@@ -582,12 +591,23 @@ def build_sorted_layout(
         eids = pm["elem"]
         pos = pm["pos"]  # input positions in part block
         d = dsts[eids]
+        eat = None
         if prt.get("hub"):
-            # compact per-part dst slots; the final scatter-add maps them
-            # back to global y positions. A dst with more than dst_cap
-            # elements here spans several pseudo-slots (scatter-add merges
-            # the duplicate hub_dsts entries) so one mega-hub never forces
-            # a part split and the layer capacity holds per slot.
+            # free-target placement first: bands stack contiguously (no
+            # fragmentation), out cells chosen after placement
+            free = _hub_free_placement(d, pos, PR, BR)
+            if free is not None:
+                pos_ord, tgt, first_mask, lanefix, seg_dst, seg_cell = free
+                hub_dst_list.append(seg_dst)
+                hub_pos_list.append((bi - n_bins) * (BR * LANES) + seg_cell)
+                eat = (pos_ord, tgt, first_mask, lanefix)
+        if eat is None and prt.get("hub"):
+            # fixed-slot fallback: compact per-part dst slots; the final
+            # scatter-add maps them back to global y positions. A dst with
+            # more than dst_cap elements here spans several pseudo-slots
+            # (scatter-add merges the duplicate hub_dsts entries) so one
+            # mega-hub never forces a part split and the layer capacity
+            # holds per slot.
             od0 = np.argsort(d, kind="stable")
             rank0 = _group_ranks(d[od0])
             pseudo = np.zeros(len(d), np.int64)
@@ -606,7 +626,7 @@ def build_sorted_layout(
             d_loc = slot[inv]
             hub_dst_list.append((uniq // 512).astype(np.int64))
             hub_pos_list.append((bi - n_bins) * (BR * LANES) + slot)
-        else:
+        elif not prt.get("hub"):
             # TRANSPOSED within-bin slot map: dst d sits at (row d_loc %
             # BR, lane d_loc // BR). Degree-descending renumbering makes
             # in-degree fall with id, so the natural map (row = d_loc //
@@ -617,8 +637,12 @@ def build_sorted_layout(
             # dense bins with one XLA reshape+swapaxes per pass.
             d_loc = d - bi * bin_dsts
             d_loc = (d_loc % BR) * LANES + d_loc // BR
-        assert int(d_loc.max(initial=0)) < (1 << 26) and PR * LANES <= (1 << 20)
-        eat = _try_eat_placement(d_loc, pos, PR, BR)
+        if eat is None:
+            assert (
+                int(d_loc.max(initial=0)) < (1 << 26)
+                and PR * LANES <= (1 << 20)
+            )
+            eat = _try_eat_placement(d_loc, pos, PR, BR)
         if eat is not None:
             pos_ord, tgt, first_mask, lanefix = eat
             mode_np[pid] = 2
@@ -850,6 +874,7 @@ def build_sorted_layout(
         route1_hi=jnp.asarray(r1_hi),
         chunk_src=jnp.asarray(np.asarray(chunk_src, np.int32)),
         chunk_dst=jnp.asarray(np.asarray(chunk_dst, np.int32)),
+        chunk_off=jnp.asarray(chunk_off),
         route2_lo=jnp.asarray(route_lo_np),
         route2_hi=jnp.asarray(route_hi_np),
         route3_lo=jnp.asarray(route3_lo_np),
@@ -931,6 +956,115 @@ _EAT_STATS = {
     "no_layers": 0, "chunk_overflow": 0, "layer0_underflow": 0,
     "lane_exhausted": 0, "ok": 0,
 }
+
+
+def _hub_free_placement(d_of_elem, pos, PR, BR):
+    """Free-target end-at-target placement for hub parts.
+
+    Hub parts reduce into COMPACT per-part out slots (the final scatter-add
+    maps them to global dsts), so the out cell of each group is free — the
+    dual of the bin parts' fixed (dst % BR, dst // BR) cells. Bands
+    therefore stack contiguously in lanes (LPT tallest-first, splitting a
+    band across lanes on overflow), packing to ~100% with zero
+    fragmentation; each segment's total is extracted at its end row e and
+    lane-fixed to a free cell (e % BR, lane') of the out block.
+
+    Returns (pos_ord, tgt, first_mask, lanefix, seg_dst, seg_cell) or None
+    when a row-class runs out of lanes (pathological equal-height stacks;
+    caller falls back to the fixed-slot path)."""
+    import heapq
+
+    n = len(d_of_elem)
+    if n == 0 or n > PR * LANES:
+        return None
+    od = _argsort_u64((d_of_elem.astype(np.uint64) << np.uint64(24)) + pos)
+    d_ord, pos_ord = d_of_elem[od], pos[od]
+    uniq, count = np.unique(d_ord, return_counts=True)
+    starts = np.searchsorted(d_ord, uniq)
+    order = np.argsort(-count, kind="stable")
+    heap = [(0, l) for l in range(LANES)]
+    heapq.heapify(heap)
+    seg_lists = [[] for _ in range(len(uniq))]  # (row0, height, lane)
+    for ui in order.tolist():
+        m = int(count[ui])
+        while m > 0:
+            load, l = heapq.heappop(heap)
+            free = PR - load
+            if free <= 0:
+                return None  # capacity exceeded (caller packed too much)
+            take = min(m, free)
+            seg_lists[ui].append((load, take, l))
+            heapq.heappush(heap, (load + take, l))
+            m -= take
+    tgt = np.empty(n, np.int64)
+    first_mask = np.zeros(n, bool)
+    seg_dst, seg_end_row, seg_lane = [], [], []
+    for ui in range(len(uniq)):
+        r = int(starts[ui])
+        for row0, h, l in seg_lists[ui]:
+            rows = row0 + np.arange(h, dtype=np.int64)
+            tgt[r : r + h] = rows * LANES + l
+            first_mask[r] = True
+            seg_dst.append(int(uniq[ui]))
+            seg_end_row.append(row0 + h - 1)
+            seg_lane.append(l)
+            r += h
+    # out cells: row-class e % BR forced by the layer merge; lane free.
+    seg_end_row = np.asarray(seg_end_row, np.int64)
+    seg_lane = np.asarray(seg_lane, np.int64)
+    rc = seg_end_row % BR
+    used = np.zeros((BR, LANES), bool)
+    cell_lane = np.full(len(rc), -1, np.int64)
+    # first pass: keep own lane when free (lane fix near-identity)
+    for i in range(len(rc)):
+        if not used[rc[i], seg_lane[i]]:
+            used[rc[i], seg_lane[i]] = True
+            cell_lane[i] = seg_lane[i]
+    for i in np.nonzero(cell_lane < 0)[0]:
+        free = np.nonzero(~used[rc[i]])[0]
+        if not len(free):
+            return None  # row-class exhausted -> fixed-slot fallback
+        used[rc[i], free[0]] = True
+        cell_lane[i] = free[0]
+    # per-row lane fix: at row e move lane seg_lane -> cell_lane
+    urows, row_gid = np.unique(seg_end_row, return_inverse=True)
+    n_rows = len(urows)
+    perms = np.full((n_rows, LANES), -1, np.int64)
+    perms[row_gid, seg_lane] = cell_lane
+    usedp = np.zeros((n_rows, LANES), bool)
+    usedp[row_gid, cell_lane] = True
+    neg = perms < 0
+    n_free = neg.sum(axis=1)
+    free_src = np.argsort(~neg, axis=1, kind="stable")
+    free_tgt = np.argsort(usedp, axis=1, kind="stable")
+    mfill = np.arange(LANES)[None, :] < n_free[:, None]
+    rows_idx = np.nonzero(mfill)[0]
+    perms[rows_idx, free_src[mfill]] = free_tgt[mfill]
+    lanefix = np.zeros((PR, LANES), np.int32)
+    nonid = np.nonzero((perms != np.arange(LANES)[None, :]).any(axis=1))[0]
+    if len(nonid):
+        from ... import native
+
+        words = native.lane_fix_words(perms[nonid])
+        if words is None:
+            words = np.zeros((len(nonid), LANES), np.int32)
+            for j, ri in enumerate(nonid):
+                bits = route_benes(perms[ri])
+                acc = np.zeros(LANES, np.uint32)
+                for s in range(bits.shape[0]):
+                    acc |= bits[s].astype(np.uint32) << s
+                words[j] = acc.astype(np.int32)
+        lanefix[urows[nonid]] = words
+    seg_cell = rc * LANES + cell_lane
+    _EAT_STATS["hub_free_ok"] = _EAT_STATS.get("hub_free_ok", 0) + 1
+    return (
+        pos_ord,
+        tgt,
+        first_mask,
+        lanefix,
+        np.asarray(seg_dst, np.int64),
+        seg_cell,
+    )
 
 
 def _try_eat_placement(d_loc, pos, PR, BR):
@@ -1301,13 +1435,57 @@ def _assemble_call(layout, binned, interpret):
     )(layout.chunk_src, layout.chunk_dst, binned)
 
 
-def _sort_reduce_call(layout, pblocks, interpret, reduce="sum"):
+def _dma_gather_chunks(cs_ref, co_ref, b_ref, vbuf, sems, CH, stream=0,
+                       n_streams=1):
+    """Issue/wait helpers for the fused K-C1: part p's chunks are copied
+    binned[chunk_src[chunk_off[p]+i]*CH : +CH] -> vbuf[slot*n_streams +
+    stream] rows [i*CH, (i+1)*CH). One DMA semaphore per slot counts all
+    of a part's chunk copies."""
+    import jax.lax as lax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def issue(p, slot):
+        base = co_ref[p]
+
+        def body(i, _):
+            src = cs_ref[base + i]
+            pltpu.make_async_copy(
+                b_ref.at[pl.ds(src * CH, CH), :],
+                vbuf.at[slot * n_streams + stream, pl.ds(i * CH, CH), :],
+                sems.at[slot],
+            ).start()
+            return 0
+
+        lax.fori_loop(0, co_ref[p + 1] - base, body, 0)
+
+    def wait(p, slot):
+        def body(i, _):
+            pltpu.make_async_copy(
+                b_ref.at[pl.ds(0, CH), :],
+                vbuf.at[slot * n_streams + stream, pl.ds(0, CH), :],
+                sems.at[slot],
+            ).wait()
+            return 0
+
+        lax.fori_loop(0, co_ref[p + 1] - co_ref[p], body, 0)
+
+    return issue, wait
+
+
+def _sort_reduce_call(layout, binned, interpret, reduce="sum"):
+    """K-C2 with the assembly fused in: each part's chunks are DMA-gathered
+    from the binned array into a double-buffered VMEM scratch while the
+    previous part computes (replaces the standalone chunk-copy kernel and
+    its HBM round trip)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     PR = layout.cfg.part_rows
     BR = layout.cfg.bin_rows
+    CH = layout.cfg.chunk_rows
     LAYERS = PR // BR
+    n_parts = layout.n_parts
     is_sum = reduce == "sum"
     IDENT = 0.0 if is_sum else float(np.inf)
 
@@ -1315,10 +1493,22 @@ def _sort_reduce_call(layout, pblocks, interpret, reduce="sum"):
         return a + b if is_sum else jnp.minimum(a, b)
 
     def kern(
-        rb_ref, bp_ref, ff_ref, md_ref, sp_ref, rb3_ref,
-        v_ref, lo_ref, hi_ref, lo3_ref, hi3_ref, o_ref,
+        cs_ref, co_ref, rb_ref, bp_ref, ff_ref, md_ref, sp_ref, rb3_ref,
+        b_ref, lo_ref, hi_ref, lo3_ref, hi3_ref, o_ref, vbuf, sems,
     ):
         t = pl.program_id(0)
+        issue, wait = _dma_gather_chunks(cs_ref, co_ref, b_ref, vbuf, sems, CH)
+
+        @pl.when(t == 0)
+        def _():
+            issue(0, 0)
+
+        @pl.when(t + 1 < n_parts)
+        def _():
+            issue(t + 1, (t + 1) % 2)
+
+        wait(t, t % 2)
+        v = vbuf[t % 2]
 
         @pl.when(ff_ref[t] == 1)
         def _():
@@ -1331,7 +1521,7 @@ def _sort_reduce_call(layout, pblocks, interpret, reduce="sum"):
             # simple part: masked reduce -> one dst slot (where, not
             # multiply: unwritten assembly rows may hold non-finite garbage)
             mask = pltpu.bitcast(lo_ref[:], jnp.float32)
-            masked = jnp.where(mask > 0, v_ref[:], IDENT)
+            masked = jnp.where(mask > 0, v, IDENT)
             total = jnp.sum(masked) if is_sum else jnp.min(masked)
             spos = sp_ref[t]
             r = spos // LANES
@@ -1346,7 +1536,7 @@ def _sort_reduce_call(layout, pblocks, interpret, reduce="sum"):
 
         @pl.when(md_ref[t] != 1)
         def _():
-            x = _apply_benes_block(v_ref[:], lo_ref[:], hi_ref[:], PR)
+            x = _apply_benes_block(v, lo_ref[:], hi_ref[:], PR)
             flags = ((hi_ref[:] >> 5) & 1).astype(jnp.float32)
             scan = _seg_scan_rows(x, flags, PR, reduce)
             # keep group-END totals only: a group's last row is followed
@@ -1376,34 +1566,36 @@ def _sort_reduce_call(layout, pblocks, interpret, reduce="sum"):
                 finish(_apply_lane_benes(masked, hi_ref[:], 8))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=6,
+        num_scalar_prefetch=8,
         grid=(layout.n_parts,),
         in_specs=[
-            pl.BlockSpec(
-                (PR, LANES), lambda t, *p: (t, 0), memory_space=pltpu.VMEM
-            ),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # binned (DMA-gathered)
         ]
         + [
             pl.BlockSpec(
-                (PR, LANES), lambda t, *p: (p[0][t], 0), memory_space=pltpu.VMEM
+                (PR, LANES), lambda t, *p: (p[2][t], 0), memory_space=pltpu.VMEM
             )
         ]
         * 2
         + [
             pl.BlockSpec(
-                (PR, LANES), lambda t, *p: (p[5][t], 0), memory_space=pltpu.VMEM
+                (PR, LANES), lambda t, *p: (p[7][t], 0), memory_space=pltpu.VMEM
             )
         ]
         * 2,
         out_specs=pl.BlockSpec(
-            (BR, LANES), lambda t, *p: (p[1][t], 0), memory_space=pltpu.VMEM
+            (BR, LANES), lambda t, *p: (p[3][t], 0), memory_space=pltpu.VMEM
         ),
+        scratch_shapes=[
+            pltpu.VMEM((2, PR, LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
     )
     return pl.pallas_call(
         kern,
         grid_spec=grid_spec,
         out_shape=_out_struct(
-            (layout.out_blocks * BR, LANES), jnp.float32, pblocks, layout.mode
+            (layout.out_blocks * BR, LANES), jnp.float32, binned, layout.mode
         ),
         compiler_params=None
         if interpret
@@ -1412,13 +1604,15 @@ def _sort_reduce_call(layout, pblocks, interpret, reduce="sum"):
         ).CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(
+        layout.chunk_src,
+        layout.chunk_off,
         layout.route_blk,
         layout.bin_of_part,
         layout.first_flag,
         layout.mode,
         layout.simple_pos,
         layout.route3_blk,
-        pblocks,
+        binned,
         layout.route2_lo,
         layout.route2_hi,
         layout.route3_lo,
@@ -1451,184 +1645,411 @@ def _unpack_pair(p):
     return a, b
 
 
-def _expand_pair_call(layout, table, interpret):
-    """K-A on a packed table: 8-way select copies packed words; the weight
-    multiply unpacks, scales both halves, re-rounds. Padding (w == 0)
-    packs back to +0.0 which is the sum identity for both halves."""
+# ---------------------------------------------------------------------------
+# Multi-stream variants: k packed bf16-pair streams (2k feature columns)
+# ride ONE routing pass. The pipeline is VPU-bound on Benes roll/selects;
+# sharing the switch-bit extraction, the scan-flag recurrence, the route
+# streams and the per-step grid/DMA overheads across k data blocks cuts the
+# per-feature cost to a fraction of the sequential pair path (the SpMM MXU
+# gap called out in round 2: mg_prims.py lax.map was one pass per pair).
+# All stream blocks stay 2D (tuples, python-unrolled) so every Mosaic op is
+# the known-good (rows, 128) roll/select form.
+# ---------------------------------------------------------------------------
+
+
+def _apply_benes_block_shared(xs, lo, hi, rows, lanes=LANES):
+    """_apply_benes_block over a list of (rows, lanes) blocks sharing one
+    set of switch words: masks extracted once per stage."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    n = rows * lanes
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (rows, lanes), 1)
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (rows, lanes), 0)
+    xs = list(xs)
+    for s, d in enumerate(stage_distances(n)):
+        word = lo if s < 32 else hi
+        bit = ((word >> (s % 32)) & 1) != 0
+        if d < lanes:
+            hi_m = (lane_iota & d) != 0
+            zs = [
+                jnp.where(
+                    hi_m,
+                    pltpu.roll(x, d, axis=1),
+                    pltpu.roll(x, lanes - d, axis=1),
+                )
+                for x in xs
+            ]
+        else:
+            rd = d // lanes
+            hi_m = (row_iota & rd) != 0
+            zs = [
+                jnp.where(
+                    hi_m,
+                    pltpu.roll(x, rd, axis=0),
+                    pltpu.roll(x, rows - rd, axis=0),
+                )
+                for x in xs
+            ]
+        xs = [jnp.where(bit, z, x) for z, x in zip(zs, xs)]
+    return xs
+
+
+def _apply_lane_benes_shared(xs, words, shift, lanes=LANES):
+    from jax.experimental.pallas import tpu as pltpu
+
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, xs[0].shape, 1)
+    xs = list(xs)
+    for s, d in enumerate(stage_distances(lanes)):
+        bit = ((words >> (shift + s)) & 1) != 0
+        hi_m = (lane_iota & d) != 0
+        zs = [
+            jnp.where(
+                hi_m,
+                pltpu.roll(x, d, axis=1),
+                pltpu.roll(x, lanes - d, axis=1),
+            )
+            for x in xs
+        ]
+        xs = [jnp.where(bit, z, x) for z, x in zip(zs, xs)]
+    return xs
+
+
+def _seg_scan_rows_shared(xs, flags, rows):
+    """Segmented inclusive sum scan per lane over a list of blocks sharing
+    one flag set: the flag recurrence runs once."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    row = jax.lax.broadcasted_iota(jnp.int32, xs[0].shape, 0)
+    f = flags.astype(jnp.float32)
+    xs = list(xs)
+    d = 1
+    while d < rows:
+        ok = (row >= d) & (f == 0.0)
+        xs = [x + jnp.where(ok, pltpu.roll(x, d, axis=0), 0.0) for x in xs]
+        fs = pltpu.roll(f, d, axis=0)
+        f = jnp.maximum(f, jnp.where(row >= d, fs, 1.0))
+        d *= 2
+    return xs
+
+
+def _expand_multi_call(layout, tables, k, interpret):
+    """K-A over k packed tables stacked as (k*trows, LANES): the idx/w
+    streams and the 8-way select masks are shared; each stream reads its
+    own table page."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     TA = min(512, layout.cfg.slab_rows)
     TV = TA // 8
     slot_rows = layout.idx.shape[0]
+    trows = tables.shape[0] // k
 
-    def kern(prow_ref, x_ref, idx_ref, w_ref, o_ref):
+    def kern(prow_ref, x_ref, idx_ref, w_ref, *o_refs):
         i = pl.program_id(0)
 
         def body(v, _):
             pr = prow_ref[i * TV + v]
-            page = x_ref[pl.ds(pr, 8), :]
             idxv = idx_ref[pl.ds(v * 8, 8), :]
-            vals = jnp.zeros((8, LANES), jnp.float32)
-            for r in range(8):
-                vals = vals + jnp.where(idxv == r, page[r][None, :], 0.0)
             wv = w_ref[pl.ds(v * 8, 8), :]
-            a, b = _unpack_pair(vals)
-            o_ref[pl.ds(v * 8, 8), :] = _pack_pair(a * wv, b * wv)
+            masks = [idxv == r for r in range(8)]
+            for s in range(k):
+                page = x_ref[pl.ds(s * trows + pr, 8), :]
+                vals = jnp.zeros((8, LANES), jnp.float32)
+                for r in range(8):
+                    vals = vals + jnp.where(masks[r], page[r][None, :], 0.0)
+                a, b = _unpack_pair(vals)
+                o_refs[s][pl.ds(v * 8, 8), :] = _pack_pair(a * wv, b * wv)
             return 0
 
         jax.lax.fori_loop(0, TV, body, 0)
 
+    blk = lambda i, *_: (i, 0)  # noqa: E731
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(slot_rows // TA,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec((TA, LANES), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TA, LANES), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TA, LANES), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((TA, LANES), blk, memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (TA, LANES), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
+        out_specs=tuple(
+            pl.BlockSpec((TA, LANES), blk, memory_space=pltpu.VMEM)
+            for _ in range(k)
         ),
     )
+    shp = jax.ShapeDtypeStruct((slot_rows, LANES), jnp.float32)
     return pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((slot_rows, LANES), jnp.float32),
+        out_shape=tuple(shp for _ in range(k)),
+        compiler_params=_vmem_params(interpret),
         interpret=interpret,
-    )(layout.prow, table, layout.idx, layout.w)
+    )(layout.prow, tables, layout.idx, layout.w)
 
 
-def _sort_reduce_pair_call(layout, pblocks, interpret):
-    """K-C2 on packed pairs: one Benes to sorted order (packed), two f32
-    segmented scans, group-end totals re-packed for one placement Benes,
-    unpacked layer merges into two f32 outputs."""
+def _slab_benes_multi_call(layout, vals_k, interpret):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    SR = layout.cfg.slab_rows
+    k = len(vals_k)
+
+    def kern(*refs):
+        v_refs, (lo_ref, hi_ref), o_refs = refs[:k], refs[k : k + 2], refs[k + 2 :]
+        outs = _apply_benes_block_shared(
+            [r[:] for r in v_refs], lo_ref[:], hi_ref[:], SR
+        )
+        for o, z in zip(o_refs, outs):
+            o[:] = z
+
+    spec = pl.BlockSpec((SR, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    shp = jax.ShapeDtypeStruct(vals_k[0].shape, jnp.float32)
+    return pl.pallas_call(
+        kern,
+        grid=(layout.n_slabs,),
+        in_specs=[spec] * (k + 2),
+        out_specs=tuple(spec for _ in range(k)),
+        out_shape=tuple(shp for _ in range(k)),
+        compiler_params=_vmem_params(interpret),
+        interpret=interpret,
+    )(*vals_k, layout.route1_lo, layout.route1_hi)
+
+
+def _sort_reduce_multi_call(layout, binned_k, interpret):
+    """K-C2 over k packed streams with the assembly fused in (per-stream
+    DMA gathers share the slot semaphore); returns 2k f32 outputs
+    (a0..ak-1, b0..bk-1 order)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     PR = layout.cfg.part_rows
     BR = layout.cfg.bin_rows
+    CH = layout.cfg.chunk_rows
     LAYERS = PR // BR
+    n_parts = layout.n_parts
+    k = len(binned_k)
 
-    def kern(
-        rb_ref, bp_ref, ff_ref, md_ref, sp_ref, rb3_ref,
-        v_ref, lo_ref, hi_ref, lo3_ref, hi3_ref, oa_ref, ob_ref,
-    ):
+    def kern(cs_ref, co_ref, rb_ref, bp_ref, ff_ref, md_ref, sp_ref,
+             rb3_ref, *refs):
+        b_refs = refs[:k]
+        lo_ref, hi_ref, lo3_ref, hi3_ref = refs[k : k + 4]
+        o_refs = refs[k + 4 : k + 4 + 2 * k]  # 2k: a-streams then b-streams
+        vbuf, sems = refs[k + 4 + 2 * k :]
         t = pl.program_id(0)
+        dmas = [
+            _dma_gather_chunks(
+                cs_ref, co_ref, b_refs[s], vbuf, sems, CH, stream=s,
+                n_streams=k,
+            )
+            for s in range(k)
+        ]
+
+        @pl.when(t == 0)
+        def _():
+            for issue, _w in dmas:
+                issue(0, 0)
+
+        @pl.when(t + 1 < n_parts)
+        def _():
+            for issue, _w in dmas:
+                issue(t + 1, (t + 1) % 2)
+
+        for _i, wait in dmas:
+            wait(t, t % 2)
+        slot = t % 2
+        v_blocks = [vbuf[slot * k + s] for s in range(k)]
 
         @pl.when(ff_ref[t] == 1)
         def _():
-            oa_ref[:] = jnp.zeros_like(oa_ref)
-            ob_ref[:] = jnp.zeros_like(ob_ref)
+            for o in o_refs:
+                o[:] = jnp.zeros_like(o)
 
         lane_iota = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 1)
 
         @pl.when(md_ref[t] == 1)
         def _():
-            mask = pltpu.bitcast(lo_ref[:], jnp.float32)
-            a, b = _unpack_pair(v_ref[:])
-            ta = jnp.sum(jnp.where(mask > 0, a, 0.0))
-            tb = jnp.sum(jnp.where(mask > 0, b, 0.0))
+            mask = pltpu.bitcast(lo_ref[:], jnp.float32) > 0
             spos = sp_ref[t]
             r = spos // LANES
             sub = r % 8
             row_iota8 = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 0)
             sel = (lane_iota == spos % LANES) & (row_iota8 == sub)
             base = pl.multiple_of((r // 8) * 8, 8)
-            oa_ref[pl.ds(base, 8), :] = oa_ref[pl.ds(base, 8), :] + jnp.where(
-                sel, ta, 0.0
-            )
-            ob_ref[pl.ds(base, 8), :] = ob_ref[pl.ds(base, 8), :] + jnp.where(
-                sel, tb, 0.0
-            )
+            for s in range(k):
+                a, b = _unpack_pair(v_blocks[s])
+                ta = jnp.sum(jnp.where(mask, a, 0.0))
+                tb = jnp.sum(jnp.where(mask, b, 0.0))
+                o_refs[s][pl.ds(base, 8), :] = o_refs[s][
+                    pl.ds(base, 8), :
+                ] + jnp.where(sel, ta, 0.0)
+                o_refs[k + s][pl.ds(base, 8), :] = o_refs[k + s][
+                    pl.ds(base, 8), :
+                ] + jnp.where(sel, tb, 0.0)
 
         @pl.when(md_ref[t] != 1)
         def _():
-            x = _apply_benes_block(v_ref[:], lo_ref[:], hi_ref[:], PR)
+            xs = _apply_benes_block_shared(
+                v_blocks, lo_ref[:], hi_ref[:], PR
+            )
             flags = ((hi_ref[:] >> 5) & 1).astype(jnp.float32)
-            a, b = _unpack_pair(x)
-            sa = _seg_scan_rows(a, flags, PR, "sum")
-            sb = _seg_scan_rows(b, flags, PR, "sum")
+            planes = []
+            for x in xs:
+                a, b = _unpack_pair(x)
+                planes.extend((a, b))
+            scans = _seg_scan_rows_shared(planes, flags, PR)
             row_iota = jax.lax.broadcasted_iota(jnp.int32, (PR, LANES), 0)
             nxt = pltpu.roll(flags, PR - 1, axis=0)
             is_end = jnp.where(row_iota == PR - 1, 1.0, nxt)
             real = ((hi_ref[:] >> 6) & 1).astype(jnp.float32)
             keep = (is_end > 0) & (real > 0)
-            packed = _pack_pair(
-                jnp.where(keep, sa, 0.0), jnp.where(keep, sb, 0.0)
-            )
+            packed = [
+                _pack_pair(
+                    jnp.where(keep, scans[2 * s], 0.0),
+                    jnp.where(keep, scans[2 * s + 1], 0.0),
+                )
+                for s in range(k)
+            ]
 
-            def finish(z):
-                za, zb = _unpack_pair(z)
-                acc_a = za[0:BR, :]
-                acc_b = zb[0:BR, :]
-                for k in range(1, LAYERS):
-                    acc_a = acc_a + za[k * BR : (k + 1) * BR, :]
-                    acc_b = acc_b + zb[k * BR : (k + 1) * BR, :]
-                oa_ref[:] = oa_ref[:] + acc_a
-                ob_ref[:] = ob_ref[:] + acc_b
+            def finish(zs):
+                for s, z in enumerate(zs):
+                    za, zb = _unpack_pair(z)
+                    acc_a = za[0:BR, :]
+                    acc_b = zb[0:BR, :]
+                    for l in range(1, LAYERS):
+                        acc_a = acc_a + za[l * BR : (l + 1) * BR, :]
+                        acc_b = acc_b + zb[l * BR : (l + 1) * BR, :]
+                    o_refs[s][:] = o_refs[s][:] + acc_a
+                    o_refs[k + s][:] = o_refs[k + s][:] + acc_b
 
             @pl.when(md_ref[t] == 0)
             def _():
-                finish(_apply_benes_block(packed, lo3_ref[:], hi3_ref[:], PR))
+                finish(
+                    _apply_benes_block_shared(
+                        packed, lo3_ref[:], hi3_ref[:], PR
+                    )
+                )
 
             @pl.when(md_ref[t] == 2)
             def _():
-                finish(_apply_lane_benes(packed, hi_ref[:], 8))
+                finish(_apply_lane_benes_shared(packed, hi_ref[:], 8))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=6,
+        num_scalar_prefetch=8,
         grid=(layout.n_parts,),
-        in_specs=[
-            pl.BlockSpec(
-                (PR, LANES), lambda t, *p: (t, 0), memory_space=pltpu.VMEM
-            ),
-        ]
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * k
         + [
             pl.BlockSpec(
-                (PR, LANES), lambda t, *p: (p[0][t], 0), memory_space=pltpu.VMEM
+                (PR, LANES), lambda t, *p: (p[2][t], 0), memory_space=pltpu.VMEM
             )
         ]
         * 2
         + [
             pl.BlockSpec(
-                (PR, LANES), lambda t, *p: (p[5][t], 0), memory_space=pltpu.VMEM
+                (PR, LANES), lambda t, *p: (p[7][t], 0), memory_space=pltpu.VMEM
             )
         ]
         * 2,
         out_specs=tuple(
             pl.BlockSpec(
-                (BR, LANES), lambda t, *p: (p[1][t], 0), memory_space=pltpu.VMEM
+                (BR, LANES), lambda t, *p: (p[3][t], 0), memory_space=pltpu.VMEM
             )
-            for _ in range(2)
+            for _ in range(2 * k)
         ),
+        scratch_shapes=[
+            pltpu.VMEM((2 * k, PR, LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
     )
     out = _out_struct(
-        (layout.out_blocks * BR, LANES), jnp.float32, pblocks, layout.mode
+        (layout.out_blocks * BR, LANES), jnp.float32, binned_k[0], layout.mode
     )
     return pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=(out, out),
-        compiler_params=None
-        if interpret
-        else __import__(
-            "jax.experimental.pallas.tpu", fromlist=["x"]
-        ).CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        out_shape=tuple(out for _ in range(2 * k)),
+        compiler_params=_vmem_params(interpret),
         interpret=interpret,
     )(
+        layout.chunk_src,
+        layout.chunk_off,
         layout.route_blk,
         layout.bin_of_part,
         layout.first_flag,
         layout.mode,
         layout.simple_pos,
         layout.route3_blk,
-        pblocks,
+        *binned_k,
         layout.route2_lo,
         layout.route2_hi,
         layout.route3_lo,
         layout.route3_hi,
     )
+
+
+def _vmem_params(interpret):
+    if interpret:
+        return None
+    from jax.experimental.pallas import tpu as pltpu
+
+    return pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024)
+
+
+def _pack_tables_multi(layout, cols):
+    """cols (2k, span) f32 -> stacked packed tables (k*trows, LANES);
+    features 2s and 2s+1 share stream s."""
+    xr = layout.x_rows
+    n_hub = layout.hub_ids.shape[0]
+    trows = -(-(xr + n_hub) // 8) * 8
+    k = cols.shape[0] // 2
+    ns = layout.src_count
+    pads = jnp.zeros((k, 2, xr * LANES), jnp.float32)
+    pads = pads.at[:, :, :ns].set(cols.reshape(k, 2, -1))
+    packed = jax.vmap(_pack_pair)(pads[:, 0], pads[:, 1])  # (k, xr*128)
+    hub_vals = packed[:, layout.hub_ids] if n_hub else packed[:, :0]
+    tables = jnp.zeros((k, trows, LANES), jnp.float32)
+    tables = tables.at[:, :xr].set(packed.reshape(k, xr, LANES))
+    if n_hub:
+        tables = tables.at[:, xr : xr + n_hub].set(
+            jnp.broadcast_to(hub_vals[:, :, None], (k, n_hub, LANES))
+        )
+    return tables.reshape(k * trows, LANES)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def _sorted_spmm_pass_jit(layout, cols, interpret=False):
+    """One multi-stream pass: cols (2k, span) -> ys (2k, num_vertices).
+    k = cols.shape[0] // 2 packed pair streams share the routing."""
+    k = cols.shape[0] // 2
+    tables = _pack_tables_multi(layout, cols)
+    vals = _expand_multi_call(layout, tables, k, interpret)
+    binned = _slab_benes_multi_call(layout, vals, interpret)
+    outs = _sort_reduce_multi_call(layout, binned, interpret)
+    # outs order: a0..ak-1, b0..bk-1 -> interleave back to feature order
+    outs = [outs[s % 2 * k + s // 2] for s in range(2 * k)]
+    nb = layout.n_bins * layout.cfg.bin_rows
+
+    def fin(o):
+        y = _untranspose_bins(layout, o)
+        if layout.hub_dsts.shape[0]:
+            y = y.at[layout.hub_dsts].add(o[nb:].reshape(-1)[layout.hub_pos])
+        return y
+
+    return jnp.stack([fin(o) for o in outs])
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def _sorted_spmm_pass_multi_jit(mlay, cols, interpret=False):
+    """Multi-range variant of one multi-stream pass: cols (2k, V)."""
+    span = mlay.span
+    k_tot = -(-mlay.num_vertices // span)
+    pad = jnp.zeros((cols.shape[0], k_tot * span), jnp.float32)
+    pad = pad.at[:, : mlay.num_vertices].set(cols)
+    y = None
+    for lay, r in zip(mlay.parts, mlay.range_of):
+        ck = jax.lax.dynamic_slice_in_dim(pad, r * span, span, axis=1)
+        yk = _sorted_spmm_pass_jit(lay, ck, interpret)
+        y = yk if y is None else y + yk
+    return y
 
 
 @partial(jax.jit, static_argnames=("interpret",))
@@ -1638,32 +2059,10 @@ def _sorted_spmv_pair_jit(
     xb: jax.Array,
     interpret: bool = False,
 ):
-    """Two columns through one pipeline pass (packed bf16 pair)."""
-    xr = layout.x_rows
-    n_hub = layout.hub_ids.shape[0]
-    trows = -(-(xr + n_hub) // 8) * 8
-    v = layout.num_vertices
-    ns = layout.src_count
-    pa = jnp.zeros(xr * LANES, jnp.float32).at[:ns].set(xa)
-    pb = jnp.zeros(xr * LANES, jnp.float32).at[:ns].set(xb)
-    packed = _pack_pair(pa, pb)
-    hub_vals = jnp.take(packed, layout.hub_ids)
-    table = jnp.zeros((trows, LANES), jnp.float32)
-    table = table.at[:xr].set(packed.reshape(xr, LANES))
-    table = table.at[xr : xr + n_hub].set(
-        jnp.broadcast_to(hub_vals[:, None], (n_hub, LANES))
-    )
-    vals = _expand_pair_call(layout, table, interpret)
-    binned = _slab_benes_call(layout, vals, interpret)
-    pblocks = _assemble_call(layout, binned, interpret)
-    oa, ob = _sort_reduce_pair_call(layout, pblocks, interpret)
-    nb = layout.n_bins * layout.cfg.bin_rows
-    ya = _untranspose_bins(layout, oa)
-    yb = _untranspose_bins(layout, ob)
-    if layout.hub_dsts.shape[0]:
-        ya = ya.at[layout.hub_dsts].add(oa[nb:].reshape(-1)[layout.hub_pos])
-        yb = yb.at[layout.hub_dsts].add(ob[nb:].reshape(-1)[layout.hub_pos])
-    return ya, yb
+    """Two columns through one pipeline pass (packed bf16 pair) — the
+    k=1 case of the multi-stream pass."""
+    ys = _sorted_spmm_pass_jit(layout, jnp.stack([xa, xb]), interpret)
+    return ys[0], ys[1]
 
 
 @partial(jax.jit, static_argnames=("interpret", "reduce"))
@@ -1752,8 +2151,7 @@ def _sorted_spmv_jit(
     )
     vals = _expand_call(layout, table, interpret, reduce)
     binned = _slab_benes_call(layout, vals, interpret)
-    pblocks = _assemble_call(layout, binned, interpret)
-    out = _sort_reduce_call(layout, pblocks, interpret, reduce)
+    out = _sort_reduce_call(layout, binned, interpret, reduce)
     y = _untranspose_bins(layout, out)
     nb = layout.n_bins * layout.cfg.bin_rows
     if layout.hub_dsts.shape[0]:
@@ -1802,20 +2200,25 @@ def sorted_spmm(
         out = jax.lax.map(one, cols)
         return jnp.swapaxes(out, 0, 1)
 
-    npair = (f + 1) // 2
-    if f % 2:
-        cols = jnp.concatenate([cols, jnp.zeros_like(cols[:1])], axis=0)
-    pairs = cols.reshape(npair, 2, -1)
+    # multi-stream passes: 2k feature columns per routing pass; k bounded
+    # by the VMEM budget for the k resident packed tables
+    first = layout.parts[0] if isinstance(layout, MultiSortedLayout) else layout
+    tbytes = max(first.x_rows * LANES * 4, 1)
+    k = max(1, min(4, _SORTED_VMEM_BUDGET * 4 // tbytes, (f + 1) // 2))
+    group = 2 * k
+    npass = -(-f // group)
+    if f % group:
+        pad = jnp.zeros((npass * group - f, cols.shape[1]), cols.dtype)
+        cols = jnp.concatenate([cols, pad], axis=0)
+    groups = cols.reshape(npass, group, -1)
 
-    def one_pair(pr):
+    def one_group(g):
         if isinstance(layout, MultiSortedLayout):
-            ya, yb = _sorted_spmv_pair_multi_jit(layout, pr[0], pr[1], interpret)
-        else:
-            ya, yb = _sorted_spmv_pair_jit(layout, pr[0], pr[1], interpret)
-        return jnp.stack([ya, yb])
+            return _sorted_spmm_pass_multi_jit(layout, g, interpret)
+        return _sorted_spmm_pass_jit(layout, g, interpret)
 
-    out = jax.lax.map(one_pair, pairs)  # (npair, 2, V)
-    out = out.reshape(npair * 2, -1)[:f]
+    out = jax.lax.map(one_group, groups)  # (npass, group, V)
+    out = out.reshape(npass * group, -1)[:f]
     return jnp.swapaxes(out, 0, 1)
 
 
@@ -1853,7 +2256,7 @@ def _layout_cache_key(
     import hashlib
 
     h = hashlib.blake2b(digest_size=16)
-    h.update(b"layout-v8")  # builder version: bump to invalidate the cache
+    h.update(b"layout-v9")  # builder version: bump to invalidate the cache
     h.update(np.int64(num_vertices).tobytes())
     if num_src_vertices is not None:
         h.update(np.int64(num_src_vertices).tobytes())

@@ -696,3 +696,89 @@ def test_chunked_ingest_memory_bounded(mesh):
     np.testing.assert_array_equal(
         np.asarray(mgg.dsts), np.asarray(mgg1.dsts)
     )
+
+
+def test_mg_traversal_sorted_engine(mesh):
+    """mg_bfs / mg_sssp on per-device min-plus sorted layouts match the
+    XLA frontier paths (VERDICT r2 #4: sorted engine for MG traversal)."""
+    import cugraph_tpu as cg
+    from cugraph_tpu.algos.traversal import INVALID_DISTANCE
+    from cugraph_tpu.dist import mg_algos
+    from cugraph_tpu.dist.mg_graph import (
+        distribute_graph,
+        unshard_vertex_values,
+    )
+    from cugraph_tpu.dist.mg_sorted import build_device_layouts
+    from cugraph_tpu.prims.pallas.spmv2 import TINY
+
+    rng = np.random.default_rng(11)
+    v, e = 180, 1100
+    src = rng.integers(0, v, e)
+    dst = rng.integers(0, v, e)
+    w = rng.integers(1, 5, e).astype(np.float32)
+    g = cg.from_edgelist(src, dst, w, num_vertices=v)
+    mgg = distribute_graph(mesh, g)
+
+    st_uw = build_device_layouts(
+        mesh, mgg, cfg=TINY, variant="min", use_weights=False
+    )
+    d_s, p_s = mg_algos.mg_bfs(
+        mesh, mgg, 0, sorted_layouts=st_uw, sorted_interpret=True
+    )
+    d_x, _ = mg_algos.mg_bfs(mesh, mgg, 0)
+    d_s = unshard_vertex_values(mgg, d_s)
+    np.testing.assert_array_equal(d_s, unshard_vertex_values(mgg, d_x))
+    # predecessors form a valid BFS tree: dist[pred[v]] + 1 == dist[v]
+    p_s = unshard_vertex_values(mgg, p_s)
+    inner = (d_s != INVALID_DISTANCE) & (d_s > 0)
+    assert (p_s[inner] >= 0).all()
+    np.testing.assert_array_equal(d_s[inner], d_s[p_s[inner]] + 1)
+
+    st_w = build_device_layouts(
+        mesh, mgg, cfg=TINY, variant="min", use_weights=True
+    )
+    ds_s, ps_s = mg_algos.mg_sssp(
+        mesh, mgg, 0, sorted_layouts=st_w, sorted_interpret=True
+    )
+    ds_x, _ = mg_algos.mg_sssp(mesh, mgg, 0)
+    ds_s = unshard_vertex_values(mgg, ds_s)
+    ds_x = unshard_vertex_values(mgg, ds_x)
+    np.testing.assert_allclose(ds_s, ds_x, rtol=1e-6, atol=1e-6)
+    # tree predicate: dist[pred] + w(pred -> v) == dist[v]
+    ps_s = unshard_vertex_values(mgg, ps_s)
+    finite = np.isfinite(ds_s) & (ds_s > 0)
+    assert (ps_s[finite] >= 0).all()
+    wmap = {}
+    for s_, d_, ww_ in zip(src, dst, w):
+        key = (int(s_), int(d_))
+        wmap[key] = min(wmap.get(key, np.inf), float(ww_))
+    for vv in np.nonzero(finite)[0]:
+        pv = int(ps_s[vv])
+        assert np.isclose(ds_s[pv] + wmap[(pv, int(vv))], ds_s[vv])
+
+
+def test_mg_hits_sorted_engine(mesh, karate_sg, karate_mg):
+    """mg_hits with (pull, push-transposed) per-device sorted layouts
+    matches the XLA-reduce mg_hits (VERDICT r2 #4: push direction)."""
+    from cugraph_tpu.dist import mg_algos
+    from cugraph_tpu.dist.mg_graph import unshard_vertex_values
+    from cugraph_tpu.dist.mg_sorted import build_device_layouts
+    from cugraph_tpu.prims.pallas.spmv2 import TINY
+
+    st_in = build_device_layouts(mesh, karate_mg, cfg=TINY, direction="in")
+    st_out = build_device_layouts(mesh, karate_mg, cfg=TINY, direction="out")
+    h_s, a_s = mg_algos.mg_hits(
+        mesh, karate_mg, max_iterations=25,
+        sorted_layouts=(st_in, st_out), sorted_interpret=True,
+    )
+    h_x, a_x = mg_algos.mg_hits(mesh, karate_mg, max_iterations=25)
+    np.testing.assert_allclose(
+        unshard_vertex_values(karate_mg, h_s),
+        unshard_vertex_values(karate_mg, h_x),
+        rtol=1e-5, atol=1e-8,
+    )
+    np.testing.assert_allclose(
+        unshard_vertex_values(karate_mg, a_s),
+        unshard_vertex_values(karate_mg, a_x),
+        rtol=1e-5, atol=1e-8,
+    )
