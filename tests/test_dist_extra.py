@@ -782,3 +782,32 @@ def test_mg_hits_sorted_engine(mesh, karate_sg, karate_mg):
         unshard_vertex_values(karate_mg, a_x),
         rtol=1e-5, atol=1e-8,
     )
+
+
+def test_mg_sample_weights_and_edge_ids(mesh, karate_sg, karate_mg):
+    """MG sampling returns the reference contract (srcs, dsts, weights,
+    edge ids, hop; uniform_neighbor_sampling_impl.hpp:69-115): weights
+    match the sampled edge, edge ids decode to the DCSR storage slot of
+    the sampled destination, and the multi-hop loop is one jitted program
+    (device-resident between hops)."""
+    res = mg_sampling.mg_uniform_neighbor_sample(
+        mesh, karate_mg, [0, 33, 5], [4, 3], rng_key=jax.random.PRNGKey(7)
+    )
+    assert res["weights"] is not None
+    assert len(res["edge_ids"]) == len(res["sources"])
+    wmap = {}
+    src_a = np.asarray(karate_sg.csr().majors)[: karate_sg.num_edges]
+    dst_a = np.asarray(karate_sg.csr().minors)[: karate_sg.num_edges]
+    w_a = np.asarray(karate_sg.csr().weights)[: karate_sg.num_edges]
+    for s_, d_, ww_ in zip(src_a, dst_a, w_a):
+        wmap.setdefault((int(s_), int(d_)), set()).add(float(ww_))
+    csr_dsts = np.asarray(karate_mg.src_csr_dsts)  # (R, C, d_pad)
+    r, c = csr_dsts.shape[:2]
+    d_pad = csr_dsts.shape[2]
+    flat_dsts = csr_dsts.reshape(r * c, d_pad)
+    for s_, d_, ww_, e_ in zip(
+        res["sources"], res["destinations"], res["weights"], res["edge_ids"]
+    ):
+        assert float(ww_) in wmap[(int(s_), int(d_))]
+        dev, pos = int(e_) // d_pad, int(e_) % d_pad
+        assert flat_dsts[dev, pos] == d_
