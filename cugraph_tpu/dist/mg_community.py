@@ -118,12 +118,35 @@ def mg_modularity(mesh: Mesh, mgg: MGGraph, labels_sharded, resolution: float = 
     )
 
 
-def _mg_louvain_one_level(mesh: Mesh, mgg: MGGraph, resolution: float, max_sweeps: int):
+def _mg_louvain_one_level(
+    mesh: Mesh,
+    mgg: MGGraph,
+    resolution: float,
+    max_sweeps: int,
+    cluster_state: str = "auto",
+    state_capacity: int = 0,
+):
     """Distributed local-moving phase. Returns (labels (R,C,vp) sharded
-    with GLOBAL cluster ids, total moves)."""
+    with GLOBAL cluster ids, total moves).
+
+    cluster_state: "dense" keeps the (vtot,)-replicated sigma vector
+    (psum per sweep — O(V) memory/allreduce per device, fine to ~2^22);
+    "hypersparse" holds sigma with each cluster id's OWNER device and
+    fetches the values actually touched via the keyed shuffles
+    (cluster_weight_sums + collect_values_for_keys) — per-device memory
+    ∝ vp, the reference's cuco kv-store scheme
+    (per_v_transform_reduce_dst_key_aggregated_outgoing_e.cuh).
+    "auto" picks hypersparse past 2^22 total vertex slots.
+    state_capacity: per-bucket shuffle capacity (0 = vp)."""
     r, c, vp = mgg.rows, mgg.cols, mgg.vp
     span = r * vp
     vtot = r * c * vp
+    if cluster_state == "auto":
+        cluster_state = "hypersparse" if vtot > (1 << 22) else "dense"
+    hyper = cluster_state == "hypersparse"
+    # capacity floor: coarse dendrogram levels have tiny vp but still
+    # route up to one aggregated entry per device per popular cluster
+    cap = int(state_capacity) or max(vp, 8 * r * c, 256)
 
     @partial(jax.jit, static_argnames=("max_sweeps",))
     def run_jit(res, max_sweeps, *args):
@@ -131,7 +154,7 @@ def _mg_louvain_one_level(mesh: Mesh, mgg: MGGraph, resolution: float, max_sweep
             shard_map,
             mesh=mesh,
             in_specs=tuple([BLOCK] * len(args)),
-            out_specs=(VERT, P()),
+            out_specs=(VERT, P(), P()),
         )
         def run(*gargs):
             srcs, dsts, w, _ = _split_args(gargs, mgg.weighted)
@@ -165,31 +188,57 @@ def _mg_louvain_one_level(mesh: Mesh, mgg: MGGraph, resolution: float, max_sweep
             selfw_span = jax.lax.psum(selfw_local, "row")
 
             def sweep(state):
-                labels, total_moves, it = state
-                # Sigma replicated over dense cluster space
-                sig_local = jax.ops.segment_sum(k_local, labels, num_segments=vtot)
-                sigma = jax.lax.psum(jax.lax.psum(sig_local, "row"), "col")
-                # dst labels for my blocks: (C, vp)
+                labels, total_moves, ovf, it = state
+                dst_idx = jnp.minimum(dsts.reshape(c, -1), vp - 1)
                 lab_blocks = mg_prims.gather_dst_values(labels)
                 key = jnp.take_along_axis(
-                    lab_blocks, jnp.minimum(dsts.reshape(c, -1), vp - 1), axis=1
+                    lab_blocks, dst_idx, axis=1
                 ).reshape(-1)
                 key = jnp.where(valid, key, vtot)
+                if hyper:
+                    # sigma with each cluster's owner; fetch the values
+                    # this device touches: per-vertex sigma[label[u]]
+                    # (one vp-sized collect), then the standard block /
+                    # span gathers align them with edges
+                    sigma_own, ov1 = mg_prims.cluster_weight_sums(
+                        labels, k_local, vmask, vp, cap
+                    )
+                    sig_mine, _found, ov2 = (
+                        mg_prims.collect_values_for_unique_keys(
+                            labels, vmask, sigma_own, vp, cap
+                        )
+                    )
+                    ovf = ovf + ov1 + ov2
+                    sig_blocks = mg_prims.gather_dst_values(sig_mine)
+                    sig_e = jnp.take_along_axis(
+                        sig_blocks, dst_idx, axis=1
+                    ).reshape(-1)
+                    sig_span = mg_prims.gather_src_values(sig_mine)
+                else:
+                    # Sigma replicated over dense cluster space
+                    sig_local = jax.ops.segment_sum(
+                        k_local, labels, num_segments=vtot
+                    )
+                    sigma = jax.lax.psum(
+                        jax.lax.psum(sig_local, "row"), "col"
+                    )
+                    sig_e = jnp.zeros_like(ew)  # threaded but unused
                 # local (src, key) run aggregation via two stable sorts
                 o1 = jnp.argsort(key, stable=True)
-                s1, k1, w1 = flat_src[o1], key[o1], ew[o1]
+                s1, k1, w1, g1 = flat_src[o1], key[o1], ew[o1], sig_e[o1]
                 o2 = jnp.argsort(s1, stable=True)
-                s2, k2, w2 = s1[o2], k1[o2], w1[o2]
+                s2, k2, w2, g2 = s1[o2], k1[o2], w1[o2], g1[o2]
                 # gather runs of the whole column (axis "row")
                 sg = jax.lax.all_gather(s2, "row", axis=0, tiled=True)
                 kg = jax.lax.all_gather(k2, "row", axis=0, tiled=True)
                 wg = jax.lax.all_gather(w2, "row", axis=0, tiled=True)
+                gg = jax.lax.all_gather(g2, "row", axis=0, tiled=True)
                 vg = kg < vtot
                 # re-sort combined runs by (src, key)
                 o3 = jnp.argsort(kg, stable=True)
-                s3, k3, w3 = sg[o3], kg[o3], wg[o3]
+                s3, k3, w3, g3 = sg[o3], kg[o3], wg[o3], gg[o3]
                 o4 = jnp.argsort(s3, stable=True)
-                s4, k4, w4 = s3[o4], k3[o4], w3[o4]
+                s4, k4, w4, g4 = s3[o4], k3[o4], w3[o4], g3[o4]
                 v4 = k4 < vtot
                 first = jnp.concatenate(
                     [jnp.ones((1,), bool), (s4[1:] != s4[:-1]) | (k4[1:] != k4[:-1])]
@@ -208,9 +257,12 @@ def _mg_louvain_one_level(mesh: Mesh, mgg: MGGraph, resolution: float, max_sweep
                 lv = jnp.take(lab_span, s_safe)
                 kv = jnp.take(k_span, s_safe)
                 own = k4 == lv
-                sig_c = jnp.take(sigma, jnp.minimum(k4, vtot - 1)) - jnp.where(
-                    own, kv, 0.0
+                sig_k4 = (
+                    g4
+                    if hyper
+                    else jnp.take(sigma, jnp.minimum(k4, vtot - 1))
                 )
+                sig_c = sig_k4 - jnp.where(own, kv, 0.0)
                 w_adj = slot_agg - jnp.where(own, jnp.take(selfw_span, s_safe), 0.0)
                 score = w_adj - res * kv * sig_c / m2
                 up = (it % 2) == 0
@@ -228,8 +280,13 @@ def _mg_louvain_one_level(mesh: Mesh, mgg: MGGraph, resolution: float, max_sweep
                     jnp.where(run_valid & own, w_adj, 0.0), seg,
                     num_segments=span + 1,
                 )[:span]
+                sig_lab_span = (
+                    sig_span
+                    if hyper
+                    else jnp.take(sigma, jnp.minimum(lab_span, vtot - 1))
+                )
                 score_own = own_w - res * k_span * (
-                    jnp.take(sigma, jnp.minimum(lab_span, vtot - 1)) - k_span
+                    sig_lab_span - k_span
                 ) / m2
                 do_move = (best > score_own + 1e-9) & (best_key < vtot)
                 new_span = jnp.where(do_move, best_key, lab_span).astype(jnp.int32)
@@ -240,25 +297,25 @@ def _mg_louvain_one_level(mesh: Mesh, mgg: MGGraph, resolution: float, max_sweep
                 moved = mg_prims.transform_reduce_v(
                     (new_local != labels).astype(jnp.int32)
                 )
-                return new_local, total_moves + moved, it + 1
+                return new_local, total_moves + moved, ovf, it + 1
 
             def pair_cond(state):
-                labels, last_pair, total, it = state
+                labels, last_pair, total, ovf, it = state
                 return (last_pair > 0) & (it < max_sweeps)
 
             def pair_body(state):
-                labels, _, total, it = state
-                l1, m1, it1 = sweep((labels, jnp.int32(0), it))
-                l2, m_pair, it2 = sweep((l1, m1, it1))
-                return l2, m_pair, total + m_pair, it2
+                labels, _, total, ovf, it = state
+                l1, m1, ov1, it1 = sweep((labels, jnp.int32(0), ovf, it))
+                l2, m_pair, ov2, it2 = sweep((l1, m1, ov1, it1))
+                return l2, m_pair, total + m_pair, ov2, it2
 
             labels0 = gid  # global singleton clusters
-            labels, _, total, _ = jax.lax.while_loop(
+            labels, _, total, ovf, _ = jax.lax.while_loop(
                 pair_cond,
                 pair_body,
-                (labels0, jnp.int32(1), jnp.int32(0), jnp.int32(0)),
+                (labels0, jnp.int32(1), jnp.int32(0), jnp.int32(0), jnp.int32(0)),
             )
-            return _wrap(labels), total
+            return _wrap(labels), total, ovf
 
         return run(*args)
 
@@ -333,6 +390,8 @@ def mg_louvain(
     max_level: int = 100,
     resolution: float = 1.0,
     threshold: float = 1e-7,
+    cluster_state: str = "auto",
+    state_capacity: int = 0,
 ) -> Tuple[np.ndarray, float]:
     """Distributed Louvain: the FULL dendrogram runs on the mesh — each
     level is a distributed local-moving phase followed by a distributed
@@ -350,7 +409,14 @@ def mg_louvain(
     )
     level = 0
     while level < max_level:
-        labels_sh, moves = _mg_louvain_one_level(mesh, cur, resolution, max_sweeps=64)
+        labels_sh, moves, ovf = _mg_louvain_one_level(
+            mesh, cur, resolution, max_sweeps=64,
+            cluster_state=cluster_state, state_capacity=state_capacity,
+        )
+        expects(
+            int(ovf) == 0,
+            "mg_louvain hypersparse shuffle overflow: raise state_capacity",
+        )
         if int(moves) == 0:
             break
         lab = unshard_vertex_values(cur, labels_sh)

@@ -265,6 +265,89 @@ def collect_values_for_keys(
     return out, found, ov + ov3 + ov4
 
 
+def collect_values_for_unique_keys(
+    keys: jax.Array,
+    valid: jax.Array,
+    values_local: jax.Array,
+    vp: int,
+    capacity: int,
+):
+    """collect_values_for_keys with local key dedup first (the
+    reference's collect_values_for_unique_keys, collect_comm.cuh:187):
+    each distinct key is requested once per device, so a popular key's
+    owner receives at most one request per device instead of one per
+    local occurrence — the bound that keeps fixed shuffle capacities
+    honest under skew (e.g. Louvain labels concentrating)."""
+    n = keys.shape[0]
+    big = jnp.int32(1 << 30)
+    k = jnp.where(valid, keys, big)
+    order = jnp.argsort(k)
+    k_s = jnp.take(k, order)
+    first = jnp.concatenate([jnp.ones((1,), bool), k_s[1:] != k_s[:-1]])
+    req = jnp.where(first, k_s, 0)
+    req_valid = first & (k_s < big)
+    vals_u, found_u, ov = collect_values_for_keys(
+        req, req_valid, values_local, vp, capacity
+    )
+    # answers land at the request SLOT (= sorted position of each run's
+    # first element); broadcast down the run
+    pos = jnp.arange(n, dtype=jnp.int32)
+    first_pos = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(first, pos, 0)
+    )
+    vals_sorted = jnp.take(vals_u, first_pos, axis=0)
+    found_sorted = jnp.take(found_u, first_pos)
+    out_shape = (n,) + values_local.shape[1:]
+    out = jnp.zeros(out_shape, values_local.dtype).at[order].set(vals_sorted)
+    found = jnp.zeros(n, jnp.bool_).at[order].set(found_sorted)
+    return out, found & valid, ov
+
+
+def cluster_weight_sums(
+    labels: jax.Array,
+    k_local: jax.Array,
+    vmask: jax.Array,
+    vp: int,
+    capacity: int,
+):
+    """Hypersparse distributed cluster-weight store: sigma[c] = sum of
+    k over vertices labeled c, held by c's OWNER device (cluster ids are
+    vertex ids, so ownership is range math). Local (label, k)
+    contributions are run-aggregated (sort + segment sum) before the
+    owner shuffle, so each device sends at most its distinct-label count.
+
+    Returns (sigma_own (vp,), overflow). The keyed replacement for the
+    dense (vtot,) replicated sigma (ref: the cuco static_map inside
+    per_v_transform_reduce_dst_key_aggregated_outgoing_e.cuh)."""
+    n = labels.shape[0]
+    big = jnp.int32(1 << 30)
+    lab = jnp.where(vmask, labels, big)
+    order = jnp.argsort(lab)
+    l_s = jnp.take(lab, order)
+    k_s = jnp.take(jnp.where(vmask, k_local, 0.0), order)
+    first = jnp.concatenate([jnp.ones((1,), bool), l_s[1:] != l_s[:-1]])
+    rid = jnp.cumsum(first.astype(jnp.int32)) - 1
+    agg = jax.ops.segment_sum(
+        k_s, rid, num_segments=n, indices_are_sorted=True
+    )
+    run_valid = first & (l_s < big)
+    run_k = jnp.take(agg, rid) * first  # value at run starts only
+    keys_rx, pack, v_rx, ov = shuffle_to_vertex_owners(
+        l_s, {"k": run_k}, run_valid, vp, capacity
+    )
+    r, c = _axis_sizes()
+    i, j = _my_coords()
+    local = keys_rx - (j * r + i) * vp
+    ok = v_rx & (local >= 0) & (local < vp)
+    slot = jnp.where(ok, local, vp)
+    sigma_own = (
+        jnp.zeros(vp + 1, k_local.dtype)
+        .at[slot]
+        .add(jnp.where(ok, pack["k"], 0.0))[:vp]
+    )
+    return sigma_own, ov
+
+
 def dcsr_lookup(nzd: jax.Array, nzd_offsets: jax.Array, local_ids: jax.Array):
     """Hypersparse (DCSR) adjacency lookup: (lo, deg) for colspan-local
     src ids. nzd is the sorted list of sources with >=1 local edge
