@@ -53,6 +53,59 @@ class PropertyGraph:
         self._vertex_df: Optional[pd.DataFrame] = None
         self._edge_df: Optional[pd.DataFrame] = None
         self._next_edge_id = 0
+        # typed schema: dtype recorded per property at add time; concat
+        # NaN-promotion is undone where lossless (the reference keeps
+        # __vertex_prop_dtypes/__edge_prop_dtypes for exactly this,
+        # property_graph.py:128-132)
+        self._vertex_prop_dtypes: dict = {}
+        self._edge_prop_dtypes: dict = {}
+
+    # ---- typed schema ------------------------------------------------------
+    @property
+    def vertex_property_dtypes(self) -> dict:
+        """Property name -> declared dtype (ref __vertex_prop_dtypes)."""
+        return dict(self._vertex_prop_dtypes)
+
+    @property
+    def edge_property_dtypes(self) -> dict:
+        return dict(self._edge_prop_dtypes)
+
+    @staticmethod
+    def _restore_dtypes(df: pd.DataFrame, dtypes: dict) -> pd.DataFrame:
+        for col, dt in dtypes.items():
+            if col not in df.columns or df[col].dtype == dt:
+                continue
+            if not df[col].isna().any():
+                try:
+                    df[col] = df[col].astype(dt)
+                except (TypeError, ValueError):
+                    pass
+        return df
+
+    @staticmethod
+    def _pack_vectors(df, chunk, vector_properties, vector_property=None):
+        """Pack listed columns into one vector-valued property per entry
+        (object column of np arrays; the reference's vector_properties).
+        vector_property: treat an existing array-valued column as one."""
+        for name, cols in (vector_properties or {}).items():
+            mat = df[list(cols)].to_numpy()
+            chunk[name] = list(mat)
+        if vector_property is not None:
+            chunk[vector_property] = [
+                np.asarray(v) for v in df[vector_property]
+            ]
+        return chunk
+
+    @staticmethod
+    def _vector_to_array(df: pd.DataFrame, col_name: str) -> np.ndarray:
+        """Stack a vector property column into an (n, dim) array (the
+        reference's vertex/edge_vector_property_to_array)."""
+        vals = [np.asarray(v) for v in df[col_name]]
+        expects(len(vals) > 0, f"no rows for vector property {col_name!r}")
+        return np.stack(vals)
+
+    vertex_vector_property_to_array = _vector_to_array
+    edge_vector_property_to_array = _vector_to_array
 
     # ---- ingestion -------------------------------------------------------
     def add_vertex_data(
@@ -61,18 +114,30 @@ class PropertyGraph:
         vertex_col_name: str,
         type_name: str = "",
         property_columns: Optional[List[str]] = None,
+        vector_properties: Optional[dict] = None,
     ) -> None:
+        vec_cols = set()
+        for cols in (vector_properties or {}).values():
+            vec_cols.update(cols)
         cols = property_columns or [
-            c for c in df.columns if c != vertex_col_name
+            c for c in df.columns if c != vertex_col_name and c not in vec_cols
         ]
         chunk = df[[vertex_col_name] + cols].rename(
             columns={vertex_col_name: VERTEX_COL}
         )
         chunk[TYPE_COL] = type_name
+        chunk = self._pack_vectors(df, chunk, vector_properties)
+        for c in cols:
+            self._vertex_prop_dtypes.setdefault(c, df[c].dtype)
+        for name in (vector_properties or {}):
+            self._vertex_prop_dtypes.setdefault(name, np.dtype(object))
         self._vertex_df = (
             chunk
             if self._vertex_df is None
             else pd.concat([self._vertex_df, chunk], ignore_index=True)
+        )
+        self._vertex_df = self._restore_dtypes(
+            self._vertex_df, self._vertex_prop_dtypes
         )
 
     def add_edge_data(
@@ -82,12 +147,21 @@ class PropertyGraph:
         edge_id_col_name: Optional[str] = None,
         type_name: str = "",
         property_columns: Optional[List[str]] = None,
+        vector_properties: Optional[dict] = None,
     ) -> None:
         s, d = vertex_col_names
-        skip = {s, d, edge_id_col_name}
+        vec_cols = set()
+        for cols in (vector_properties or {}).values():
+            vec_cols.update(cols)
+        skip = {s, d, edge_id_col_name} | vec_cols
         cols = property_columns or [c for c in df.columns if c not in skip]
         chunk = df[[s, d] + cols].rename(columns={s: SRC_COL, d: DST_COL})
         chunk[TYPE_COL] = type_name
+        chunk = self._pack_vectors(df, chunk, vector_properties)
+        for c in cols:
+            self._edge_prop_dtypes.setdefault(c, df[c].dtype)
+        for name in (vector_properties or {}):
+            self._edge_prop_dtypes.setdefault(name, np.dtype(object))
         if edge_id_col_name is not None:
             chunk[EDGE_ID_COL] = df[edge_id_col_name].to_numpy()
             self._next_edge_id = max(
@@ -102,6 +176,9 @@ class PropertyGraph:
             chunk
             if self._edge_df is None
             else pd.concat([self._edge_df, chunk], ignore_index=True)
+        )
+        self._edge_df = self._restore_dtypes(
+            self._edge_df, self._edge_prop_dtypes
         )
 
     # ---- introspection ---------------------------------------------------

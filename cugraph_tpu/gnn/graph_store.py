@@ -27,9 +27,12 @@ from ..utils.error import expects
 
 
 class FeatureStorage:
-    """Feature fetch wrapper (ref CuFeatureStorage): returns device arrays.
+    """Feature fetch wrapper (ref CuFeatureStorage, gnn/graph_store.py:402):
+    returns framework tensors per backend_lib.
 
-    storage_type "node": indices are vertex ids; "edge": edge ids."""
+    storage_type "node": indices are vertex ids; "edge": edge ids.
+    backend_lib: "jax" (device arrays, default), "torch" (zero-copy via
+    dlpack, the reference's DGL/PyG delivery path), or "numpy"."""
 
     def __init__(
         self,
@@ -37,11 +40,27 @@ class FeatureStorage:
         columns: Sequence[str],
         type_name: str,
         storage_type: str = "node",
+        backend_lib: str = "jax",
     ):
         self.pg = pg
         self.columns = list(columns)
         self.type_name = type_name
         self.storage_type = storage_type
+        self.backend_lib = backend_lib
+
+    def _deliver(self, arr: jax.Array):
+        if self.backend_lib == "jax":
+            return arr
+        if self.backend_lib == "numpy":
+            return np.asarray(arr)
+        if self.backend_lib == "torch":
+            import torch
+
+            try:  # zero-copy when the consumer shares the device space
+                return torch.utils.dlpack.from_dlpack(arr.__dlpack__())
+            except Exception:
+                return torch.from_numpy(np.asarray(arr))
+        raise ValueError(f"unknown backend_lib {self.backend_lib!r}")
 
     def fetch(self, indices) -> jax.Array:
         types = [self.type_name] if self.type_name else None
@@ -54,7 +73,13 @@ class FeatureStorage:
         else:
             df = self.pg.get_vertex_data(vertex_ids=idx, types=types)
             df = df.set_index(VERTEX_COL).loc[idx]
-        return jnp.asarray(df[self.columns].to_numpy(dtype=np.float32))
+        if len(self.columns) == 1 and df[self.columns[0]].dtype == object:
+            # vector property: stack the packed rows
+            mat = PropertyGraph._vector_to_array(df, self.columns[0])
+            return self._deliver(jnp.asarray(mat.astype(np.float32)))
+        return self._deliver(
+            jnp.asarray(df[self.columns].to_numpy(dtype=np.float32))
+        )
 
 
 class GraphStore:
@@ -69,11 +94,13 @@ class GraphStore:
         self.pg.add_vertex_data(df, node_col_name, type_name=node_type)
         self._graph_cache = None
         self._rev_core = None
+        self._mgg_fwd = self._mgg_rev = None
 
     def add_edge_data(self, df: pd.DataFrame, vertex_col_names, edge_type: str = ""):
         self.pg.add_edge_data(df, vertex_col_names, type_name=edge_type)
         self._graph_cache = None
         self._rev_core = None
+        self._mgg_fwd = self._mgg_rev = None
 
     # ---- graph views (ref CuGraphStore :125-148, :320-326) -----------------
     @property
@@ -136,9 +163,9 @@ class GraphStore:
 
     @property
     def is_mg(self) -> bool:
-        """Single-controller JAX replaces the dask-MG split; per-graph
-        mesh backing lives in the service layer (ref CuGraphStore.is_mg)."""
-        return False
+        """True when the backing tables are an MGPropertyGraph — sampling
+        then runs on the mesh (ref CuGraphStore.is_mg)."""
+        return bool(getattr(self.pg, "is_mg", lambda: False)())
 
     @property
     def gdata(self):
@@ -157,7 +184,12 @@ class GraphStore:
     ) -> pd.DataFrame:
         """edge_dir "in": sample edges INTO the seed nodes (DGL default,
         via the reverse adjacency — ref extracted_reverse_subgraph :287);
-        "out": sample outgoing edges."""
+        "out": sample outgoing edges. MG-backed stores route to the
+        mesh sampler (ref CuGraphStore's dask path)."""
+        if self.is_mg:
+            return self._sample_neighbors_mg(
+                nodes, fanout, with_replacement, num_hops, edge_dir, rng_key
+            )
         g = self._algo_graph()
         sample_g = g.core
         if edge_dir == "in":
@@ -187,12 +219,52 @@ class GraphStore:
             }
         )
 
-    def get_node_storage(self, columns, node_type: str = "") -> FeatureStorage:
-        return FeatureStorage(self.pg, columns, node_type, storage_type="node")
+    def _sample_neighbors_mg(
+        self, nodes, fanout, with_replacement, num_hops, edge_dir, rng_key
+    ) -> pd.DataFrame:
+        from ..utils.error import expects
+        from ..dist import mg_sampling
 
-    def get_edge_storage(self, columns, edge_type: str = "") -> FeatureStorage:
+        expects(fanout > 0, "MG sampling needs fanout > 0")
+        rev = edge_dir == "in"
+        cache = "_mgg_rev" if rev else "_mgg_fwd"
+        mgg = getattr(self, cache, None)
+        if mgg is None:
+            mgg = self.pg.extract_subgraph(
+                check_multi_edges=False, reverse=rev
+            )
+            setattr(self, cache, mgg)
+        res = mg_sampling.mg_uniform_neighbor_sample(
+            self.pg.mesh,
+            mgg,
+            np.atleast_1d(nodes),
+            [fanout] * num_hops,
+            with_replacement=with_replacement,
+            rng_key=rng_key,
+        )
+        s, d = res["sources"], res["destinations"]
+        if rev:
+            s, d = d, s
+        return pd.DataFrame(
+            {"sources": s, "destinations": d, "hop": res["hop"]}
+        )
+
+    def get_node_storage(
+        self, columns, node_type: str = "", backend_lib: str = "jax"
+    ) -> FeatureStorage:
+        return FeatureStorage(
+            self.pg, columns, node_type, storage_type="node",
+            backend_lib=backend_lib,
+        )
+
+    def get_edge_storage(
+        self, columns, edge_type: str = "", backend_lib: str = "jax"
+    ) -> FeatureStorage:
         """Edge-feature fetch by edge id (ref CuGraphStore.get_edge_storage)."""
-        return FeatureStorage(self.pg, columns, edge_type, storage_type="edge")
+        return FeatureStorage(
+            self.pg, columns, edge_type, storage_type="edge",
+            backend_lib=backend_lib,
+        )
 
     def node_subgraph(self, nodes):
         """Induced subgraph over a node subset (ref CuGraphStore helpers)."""

@@ -244,3 +244,86 @@ def test_pyg_store_protocol():
 
     fs, gs = to_pyg(store.pg)
     assert fs is gs
+
+
+def test_property_graph_typed_schema_and_vectors():
+    """Typed schemas survive concat NaN-promotion; vector properties pack
+    columns into one array-valued property (ref __vertex_prop_dtypes,
+    vector_properties)."""
+    import pandas as pd
+
+    from cugraph_tpu.api.property_graph import PropertyGraph
+
+    pg = PropertyGraph()
+    df1 = pd.DataFrame(
+        {"v": [0, 1], "age": np.array([3, 4], np.int32),
+         "x0": [1.0, 2.0], "x1": [3.0, 4.0]}
+    )
+    pg.add_vertex_data(
+        df1, "v", type_name="person", vector_properties={"emb": ["x0", "x1"]}
+    )
+    df2 = pd.DataFrame({"v": [2, 3], "score": [0.5, 0.25]})
+    pg.add_vertex_data(df2, "v", type_name="item")
+    assert pg.vertex_property_dtypes["age"] == np.dtype(np.int32)
+    # rows of the other type leave age NaN -> promoted; declared dtype kept
+    got = pg.get_vertex_data(types=["person"])
+    emb = PropertyGraph.vertex_vector_property_to_array(got, "emb")
+    np.testing.assert_allclose(emb, [[1.0, 3.0], [2.0, 4.0]])
+    assert "x0" not in pg.vertex_property_names
+
+
+def test_feature_storage_backends():
+    import pandas as pd
+
+    from cugraph_tpu.gnn import GraphStore
+
+    store = GraphStore()
+    store.add_node_data(
+        pd.DataFrame({"v": [0, 1, 2], "f0": [1.0, 2.0, 3.0],
+                      "f1": [4.0, 5.0, 6.0]}),
+        "v",
+    )
+    fs_t = store.get_node_storage(["f0", "f1"], backend_lib="torch")
+    t = fs_t.fetch([2, 0])
+    import torch
+
+    assert isinstance(t, torch.Tensor)
+    np.testing.assert_allclose(t.numpy(), [[3.0, 6.0], [1.0, 4.0]])
+    fs_n = store.get_node_storage(["f0"], backend_lib="numpy")
+    assert isinstance(fs_n.fetch([1]), np.ndarray)
+
+
+def test_mg_property_graph_store():
+    """MGPropertyGraph extract_subgraph distributes onto the mesh; the
+    GNN store samples through the mesh sampler (ref MGPropertyGraph +
+    CuGraphStore dask path)."""
+    import pandas as pd
+
+    from cugraph_tpu.dist.mg_graph import MGGraph
+    from cugraph_tpu.dist.mg_property_graph import MGPropertyGraph
+    from cugraph_tpu.gnn import GraphStore
+
+    from cugraph_tpu.dist.mesh import make_mesh
+
+    mesh = make_mesh((2, 2))
+    rng = np.random.default_rng(3)
+    src = rng.integers(0, 40, 300)
+    dst = rng.integers(0, 40, 300)
+    pg = MGPropertyGraph(mesh)
+    pg.add_edge_data(
+        pd.DataFrame({"s": src, "d": dst, "w": rng.random(300).astype(np.float32)}),
+        ("s", "d"),
+    )
+    mgg = pg.extract_subgraph(
+        check_multi_edges=False, edge_weight_property="w"
+    )
+    assert isinstance(mgg, MGGraph)
+    store = GraphStore(property_graph=pg)
+    assert store.is_mg
+    out = store.sample_neighbors([0, 1], fanout=3, edge_dir="out")
+    edges = set(zip(src.tolist(), dst.tolist()))
+    for s_, d_ in zip(out["sources"], out["destinations"]):
+        assert (int(s_), int(d_)) in edges
+    out_in = store.sample_neighbors([int(dst[0])], fanout=3, edge_dir="in")
+    for s_, d_ in zip(out_in["sources"], out_in["destinations"]):
+        assert (int(s_), int(d_)) in edges
