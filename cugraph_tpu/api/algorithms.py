@@ -29,7 +29,19 @@ def pagerank(
     tol: float = 1.0e-5,
     nstart: Optional[pd.DataFrame] = None,
 ):
-    """Returns DataFrame['vertex', 'pagerank'] (or dict for nx input)."""
+    """Returns DataFrame['vertex', 'pagerank'] (or dict for nx input).
+
+    Examples
+    --------
+    >>> import pandas as pd
+    >>> from cugraph_tpu.api import Graph, algorithms
+    >>> G = Graph()
+    >>> _ = G.from_pandas_edgelist(pd.DataFrame(
+    ...     {"source": [0, 1, 2], "destination": [1, 2, 0]}))
+    >>> df = algorithms.pagerank(G, tol=1e-10)
+    >>> [round(x, 4) for x in df["pagerank"]]
+    [0.3333, 0.3333, 0.3333]
+    """
     g, is_nx = ensure_graph(G)
     pers = None
     if personalization is not None:
@@ -120,7 +132,19 @@ def degree_centrality(G, normalized=True):
 
 
 def bfs(G, start, depth_limit=None):
-    """Returns DataFrame['vertex', 'distance', 'predecessor']."""
+    """Returns DataFrame['vertex', 'distance', 'predecessor'].
+
+    Examples
+    --------
+    >>> import pandas as pd
+    >>> from cugraph_tpu.api import Graph, algorithms
+    >>> G = Graph(directed=True)
+    >>> _ = G.from_pandas_edgelist(pd.DataFrame(
+    ...     {"source": [0, 1], "destination": [1, 2]}))
+    >>> df = algorithms.bfs(G, 0).sort_values("vertex")
+    >>> df["distance"].tolist()
+    [0, 1, 2]
+    """
     g, is_nx = ensure_graph(G)
     start_int = g.to_internal(np.atleast_1d(start))
     dist, pred = _algos.traversal.bfs(g.core, start_int, depth_limit=depth_limit)

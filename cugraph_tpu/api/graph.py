@@ -24,7 +24,20 @@ class Graph:
     """NetworkX-flavored graph handle wrapping the device-side core Graph.
 
     Undirected by default (matching cugraph.Graph); ``directed=True`` for
-    the DiGraph behavior."""
+    the DiGraph behavior.
+
+    Examples
+    --------
+    >>> import pandas as pd
+    >>> from cugraph_tpu.api import Graph
+    >>> G = Graph()
+    >>> _ = G.from_pandas_edgelist(pd.DataFrame(
+    ...     {"source": ["a", "b"], "destination": ["b", "c"]}))
+    >>> G.number_of_vertices()
+    3
+    >>> G.number_of_edges()
+    2
+    """
 
     def __init__(self, directed: bool = False):
         self.directed = directed

@@ -175,6 +175,25 @@ class CugraphHandler:
         graph_id: int = DEFAULT_GRAPH_ID,
     ) -> Dict[str, List]:
         g = self._algo_graph(graph_id)
+        if graph_id in self._dist:
+            # mesh-backed: the distributed sampler (ref
+            # cugraph_handler.py:246 is_multi_gpu sampling path)
+            mesh, mgg, g = self._dist[graph_id]
+            from ..dist.mg_sampling import mg_uniform_neighbor_sample
+
+            starts = g.to_internal(np.asarray(start_list))
+            res = mg_uniform_neighbor_sample(
+                mesh, mgg, starts, fanout_vals,
+                with_replacement=with_replacement,
+            )
+            ext = np.asarray(g.vertex_ids_external())
+            return {
+                "sources": ext[res["sources"]].tolist(),
+                "destinations": ext[res["destinations"]].tolist(),
+                "indices": None
+                if res["weights"] is None
+                else res["weights"].tolist(),
+            }
         from ..api import algorithms as capi
 
         df = capi.uniform_neighbor_sample(
@@ -295,6 +314,80 @@ class CugraphHandler:
             "vertex": df["vertex"].tolist(),
             "distance": df["distance"].tolist(),
             "predecessor": df["predecessor"].tolist(),
+        }
+
+    def sssp(
+        self, start, graph_id: int = DEFAULT_GRAPH_ID, **kwargs
+    ) -> Dict[str, List]:
+        from ..api import algorithms as capi
+
+        if graph_id in self._dist:
+            mesh, mgg, g = self._dist[graph_id]
+            from ..dist.mg_algos import mg_sssp
+            from ..dist.mg_graph import unshard_vertex_values
+
+            start_i = int(g.to_internal(np.asarray([start]))[0])
+            dist_sh, pred_sh = mg_sssp(mesh, mgg, start_i, **kwargs)
+            dist = unshard_vertex_values(mgg, dist_sh)
+            pred_i = unshard_vertex_values(mgg, pred_sh)
+            ext = np.asarray(g.vertex_ids_external())
+            pred = np.where(pred_i >= 0, ext[np.maximum(pred_i, 0)], -1)
+            return {
+                "vertex": ext.tolist(),
+                "distance": np.asarray(dist).tolist(),
+                "predecessor": pred.tolist(),
+            }
+        df = capi.sssp(self._algo_graph(graph_id), start, **kwargs)
+        return {
+            "vertex": df["vertex"].tolist(),
+            "distance": df["distance"].tolist(),
+            "predecessor": df["predecessor"].tolist(),
+        }
+
+    def wcc(self, graph_id: int = DEFAULT_GRAPH_ID, **kwargs) -> Dict[str, List]:
+        from ..api import algorithms as capi
+
+        if graph_id in self._dist:
+            mesh, mgg, g = self._dist[graph_id]
+            from ..dist.mg_algos import mg_wcc
+            from ..dist.mg_graph import unshard_vertex_values
+
+            labels_sh = mg_wcc(mesh, mgg, **kwargs)
+            labels = unshard_vertex_values(mgg, labels_sh)
+            ext = np.asarray(g.vertex_ids_external())
+            return {
+                "vertex": ext.tolist(),
+                "labels": np.asarray(labels).tolist(),
+            }
+        df = capi.weakly_connected_components(self._algo_graph(graph_id), **kwargs)
+        return {
+            "vertex": df["vertex"].tolist(),
+            "labels": df["labels"].tolist(),
+        }
+
+    def katz_centrality(
+        self, graph_id: int = DEFAULT_GRAPH_ID, **kwargs
+    ) -> Dict[str, List]:
+        from ..api import algorithms as capi
+
+        if graph_id in self._dist:
+            mesh, mgg, g = self._dist[graph_id]
+            from ..dist.mg_algos import mg_katz_centrality
+            from ..dist.mg_graph import unshard_vertex_values
+
+            scores_sh = mg_katz_centrality(mesh, mgg, **kwargs)
+            if isinstance(scores_sh, tuple):
+                scores_sh = scores_sh[0]
+            scores = unshard_vertex_values(mgg, scores_sh)
+            ext = np.asarray(g.vertex_ids_external())
+            return {
+                "vertex": ext.tolist(),
+                "katz_centrality": np.asarray(scores).tolist(),
+            }
+        df = capi.katz_centrality(self._algo_graph(graph_id), **kwargs)
+        return {
+            "vertex": df["vertex"].tolist(),
+            "katz_centrality": df["katz_centrality"].tolist(),
         }
 
     # ---- extensions (ref: cugraph_handler.py:161) ------------------------

@@ -107,3 +107,27 @@ def test_handler_mg_backed_graph(edge_csv):
     mg_bfs = h.bfs(0)
     assert mg_bfs["vertex"] == sg_bfs["vertex"]
     assert mg_bfs["distance"] == sg_bfs["distance"]
+
+
+def test_handler_mg_routing_full_surface(edge_csv):
+    """sssp / wcc / katz / sampling also route to the MG implementations
+    on mesh-backed graphs and match the SG handler (VERDICT r2 #9; ref
+    cugraph_handler.py:246 is_multi_gpu)."""
+    h = CugraphHandler()
+    h.load_csv_as_edge_data(edge_csv, vertex_col_names=["src", "dst"])
+    sg_sssp = h.sssp(0)
+    sg_wcc = h.wcc()
+    sg_katz = h.katz_centrality(alpha=0.05, tol=1e-8)
+
+    h.distribute_graph(mesh_shape=[2, 4])
+    mg_sssp = h.sssp(0)
+    assert mg_sssp["vertex"] == sg_sssp["vertex"]
+    np.testing.assert_allclose(mg_sssp["distance"], sg_sssp["distance"])
+    mg_wcc = h.wcc()
+    assert mg_wcc["labels"] == sg_wcc["labels"]
+    mg_katz = h.katz_centrality(alpha=0.05, tol=1e-8)
+    np.testing.assert_allclose(
+        mg_katz["katz_centrality"], sg_katz["katz_centrality"], atol=1e-5
+    )
+    res = h.uniform_neighbor_sample([0], [4])
+    assert len(res["sources"]) > 0
