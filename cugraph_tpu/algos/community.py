@@ -403,7 +403,11 @@ def spectral_balanced_cut_clustering(
 ) -> jax.Array:
     """Balanced-cut spectral clustering via normalized-Laplacian eigenvectors
     + k-means (ref: community/legacy/spectral_clustering.cu, which uses
-    raft's Lanczos; dense eigh here — the legacy API targets small graphs)."""
+    raft's Lanczos; dense eigh here — the legacy API targets small graphs).
+
+    HOST FALLBACK: eigensolver + k-means run on host scipy, not the TPU;
+    O(V^2)-ish time at scale. Use the prims-backed community algorithms
+    (louvain/leiden) for large graphs."""
     import scipy.sparse as sp
     import scipy.sparse.linalg as spla
 

@@ -67,8 +67,11 @@ def weakly_connected_components(g: Graph) -> jax.Array:
 
 
 def strongly_connected_components(g: Graph) -> jax.Array:
-    """SCC labels (host path via Tarjan; the reference's SCC is likewise a
-    legacy single-GPU side path, components/legacy/scc_matrix.cuh)."""
+    """SCC labels.
+
+    HOST FALLBACK: scipy's Tarjan on host, not the TPU (the reference's
+    SCC is likewise a legacy single-GPU side path,
+    components/legacy/scc_matrix.cuh); O(V+E) host memory/time."""
     import scipy.sparse as sp
 
     from ..core.convert import decompress_to_edgelist

@@ -22,7 +22,10 @@ def hungarian(g: Graph, workers: np.ndarray) -> Tuple[float, np.ndarray]:
     """Optimal assignment of ``workers`` (vertex subset) to the remaining
     task vertices, minimizing total edge weight. Returns (cost,
     assignments) where assignments[i] is the task vertex assigned to
-    workers[i]."""
+    workers[i].
+
+    HOST FALLBACK: scipy's LAP solver on host, not the TPU (the
+    reference delegates to raft::lap the same way)."""
     expects(g.weighted, "hungarian requires edge weights")
     workers = np.asarray(workers, dtype=NP_VERTEX_DTYPE)
     src, dst, w = decompress_to_edgelist(g)

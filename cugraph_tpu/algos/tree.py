@@ -35,7 +35,10 @@ def _spanning_tree(g: Graph, maximum: bool) -> Tuple[np.ndarray, np.ndarray, np.
 
 
 def minimum_spanning_tree(g: Graph):
-    """Returns (src, dst, weight) arrays of the MST/forest edges."""
+    """Returns (src, dst, weight) arrays of the MST/forest edges.
+
+    HOST FALLBACK: scipy's MST on host, not the TPU (the reference
+    delegates to raft::mst the same way)."""
     return _spanning_tree(g, maximum=False)
 
 

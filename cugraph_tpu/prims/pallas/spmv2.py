@@ -423,27 +423,41 @@ def build_sorted_layout(
         return int(c1 - c0) * CH
 
     def pack_parts(pieces_list, mode, bi, d=None, row_budget=None):
-        """Greedy row-budgeted packing; a single piece larger than the
-        budget is split at chunk boundaries."""
+        """Greedy row-budgeted packing. Pieces split at CHUNK boundaries
+        to fill every part to the budget: skewed bins (degree-descending
+        renumbering concentrates in-degree in the low-id bins) produce
+        ~500-row runs that would otherwise strand ~20% of every part's
+        rows (the kernel pays full PR rows of VPU work per part, so part
+        fill IS the cost model)."""
         out = []
         budget = row_budget if row_budget is not None else PR
         cur_pieces, cur_rows = [], 0
         for ridx, sel in pieces_list:
             s_, _, r0, _ = run_info[ridx]
-            # split oversized pieces at chunk boundaries
-            pos = sel + r0 * LANES
-            csplit = pos // (CH * LANES)
-            sub = [sel]
-            if piece_rows(sel, r0) > budget:
-                sub = [
-                    sel[csplit == c]
-                    for c in np.unique(csplit)
-                ]
-            for sl in sub:
-                need = piece_rows(sl, r0)
-                if cur_rows + need > budget and cur_pieces:
-                    out.append(dict(mode=mode, dst=d, pieces=cur_pieces, bin=bi))
+            sl = sel
+            need = piece_rows(sl, r0)
+            while cur_rows + need > budget:
+                room = budget - cur_rows
+                if room >= CH and len(sl):
+                    # chunk-aligned prefix fills the current part
+                    pos = sl + r0 * LANES
+                    c0 = pos.min() // (CH * LANES)
+                    cut = c0 + room // CH
+                    in_pre = pos // (CH * LANES) < cut
+                    pre = sl[in_pre]
+                    if len(pre):
+                        cur_pieces.append((ridx, pre))
+                        cur_rows += piece_rows(pre, r0)
+                    sl = sl[~in_pre]
+                    need = piece_rows(sl, r0)
+                if cur_pieces:
+                    out.append(
+                        dict(mode=mode, dst=d, pieces=cur_pieces, bin=bi)
+                    )
                     cur_pieces, cur_rows = [], 0
+                elif need > budget:  # single chunk span beyond budget
+                    raise ValueError("piece chunk exceeds part budget")
+            if len(sl):
                 cur_pieces.append((ridx, sl))
                 cur_rows += need
         if cur_pieces:
@@ -1122,6 +1136,8 @@ def _try_eat_placement(d_loc, pos, PR, BR):
     heads = [0] * BR  # pop pointer per bucket (tallest first)
     lane_of = np.zeros(n_dst, np.int64)
     e_top_of = np.zeros(n_dst, np.int64)
+    placed_mask = np.zeros(n_dst, bool)
+    lane_floor = np.full(LANES, PR, np.int64)
     remaining = n_dst
     mt_l = m_tot.tolist()
     nc_l = n_c.tolist()
@@ -1164,6 +1180,7 @@ def _try_eat_placement(d_loc, pos, PR, BR):
                     e_top = k_max * BR + b
                     lane_of[di] = l
                     e_top_of[di] = e_top
+                    placed_mask[di] = True
                     floor = e_top - mt_l[di] + 1
                     remaining -= 1
                     placed = True
@@ -1173,42 +1190,105 @@ def _try_eat_placement(d_loc, pos, PR, BR):
                 b = nb.bit_length() - 1 if nb else -1
             if not placed:
                 break  # lane done; leftovers try the next lane
+        lane_floor[l] = floor
+    frags: list = []  # (di, end_row, height, lane) splits of leftovers
     if remaining:
-        _EAT_STATS["lane_exhausted"] += 1
-        import os
+        # split pass: a leftover band may split into <= L fragments, one
+        # per layer slot of its row class (each ends at a DISTINCT row
+        # e ≡ r_d (mod BR); the layer merge sums/mins the partial
+        # extractions, exactly like a tall band's chunks)
+        import heapq
 
-        if os.environ.get("SPMV2_TIMERS"):
-            print(
-                f"  eat fail: n_dst={n_dst} remaining={remaining} "
-                f"elems={int(m_tot.sum())} cap={PR * LANES} "
-                f"n_c_max={int(n_c.max())}",
-                flush=True,
-            )
-            dump = os.environ.get("SPMV2_EAT_DUMP")
-            if dump and not os.path.exists(dump):
-                np.savez(dump, d_loc=d_loc, pos=pos, PR=PR, BR=BR)
-        return None
+        fheap = [(-int(lane_floor[l]), l) for l in range(LANES)]
+        heapq.heapify(fheap)
+        leftovers = np.nonzero(~placed_mask)[0]
+        leftovers = leftovers[np.argsort(-m_tot[leftovers], kind="stable")]
+        ok_split = True
+        for di in leftovers.tolist():
+            m = mt_l[di]
+            b = int(r_d[di])
+            used_e: set = set()
+            tried: list = []
+            while m > 0:
+                if not fheap:
+                    ok_split = False
+                    break
+                negfl, l = heapq.heappop(fheap)
+                fl = -negfl
+                # largest unused e ≡ b (mod BR) strictly below the floor
+                e = ((fl - 1 - b) // BR) * BR + b if fl - 1 >= b else -1
+                while e >= 0 and e in used_e:
+                    e -= BR
+                if e < 0:
+                    tried.append((negfl, l))  # lane useless for this dst
+                    continue
+                take = min(m, e + 1)
+                frags.append((di, e, take, l))
+                used_e.add(e)
+                heapq.heappush(fheap, (-(e - take + 1), l))
+                m -= take
+            for item in tried:
+                heapq.heappush(fheap, item)
+            if not ok_split:
+                break
+        if not ok_split:
+            _EAT_STATS["lane_exhausted"] += 1
+            import os
+
+            if os.environ.get("SPMV2_TIMERS"):
+                print(
+                    f"  eat fail: n_dst={n_dst} remaining={remaining} "
+                    f"elems={int(m_tot.sum())} cap={PR * LANES} "
+                    f"n_c_max={int(n_c.max())}",
+                    flush=True,
+                )
+            return None
+        _EAT_STATS["split_placed"] = _EAT_STATS.get("split_placed", 0) + 1
 
     # per-element targets: dst band rows (e_top - m + 1 .. e_top)
     did = np.searchsorted(uniq, d_ord)
     row_e = (e_top_of - m_tot + 1)[did] + rank
     lane_e = lane_of[did]
-    tgt = row_e * LANES + lane_e
     # chunk starts: the partial bottom chunk then full chunks of BR
     mp_e = m_p[did]
     first_mask = (rank == 0) | ((rank >= mp_e) & ((rank - mp_e) % BR == 0))
+    if frags:
+        # overwrite leftover dsts' element targets fragment by fragment
+        starts_u = np.searchsorted(d_ord, uniq)
+        cursor = {int(di): int(starts_u[di]) for di in leftovers.tolist()}
+        for di, e, take, l in frags:
+            r0 = cursor[di]
+            rows = e - take + 1 + np.arange(take)
+            row_e[r0 : r0 + take] = rows
+            lane_e[r0 : r0 + take] = l
+            first_mask[r0 : r0 + take] = False
+            first_mask[r0] = True
+            cursor[di] = r0 + take
+    tgt = row_e * LANES + lane_e
 
     # per-row lane fix: every chunk end (k*BR + r_d, lane_of) -> lane tl.
     # Vectorized per-row perm assembly + batched native routing
     # (ct_lane_fix_words); per-row python fallback for tiny tests.
     lanefix = np.zeros((PR, LANES), np.int32)
+    n_c_eff = np.where(placed_mask, n_c, 0)
     k_min_of = (e_top_of // BR) - n_c + 1
-    tot = int(n_c.sum())
-    dst_rep = np.repeat(np.arange(n_dst), n_c)
-    within_k = np.arange(tot) - np.repeat(np.cumsum(n_c) - n_c, n_c)
+    tot = int(n_c_eff.sum())
+    dst_rep = np.repeat(np.arange(n_dst), n_c_eff)
+    within_k = np.arange(tot) - np.repeat(
+        np.cumsum(n_c_eff) - n_c_eff, n_c_eff
+    )
     end_rows = (k_min_of[dst_rep] + within_k) * BR + r_d[dst_rep]
     end_src = lane_of[dst_rep]
     end_tgt = tl[dst_rep]
+    if frags:
+        f_di = np.asarray([f[0] for f in frags], np.int64)
+        end_rows = np.concatenate(
+            [end_rows, np.asarray([f[1] for f in frags], np.int64)]
+        )
+        end_src = np.concatenate(
+            [end_src, np.asarray([f[3] for f in frags], np.int64)]
+        )
+        end_tgt = np.concatenate([end_tgt, tl[f_di]])
     urows, row_gid = np.unique(end_rows, return_inverse=True)
     n_rows = len(urows)
     perms = np.full((n_rows, LANES), -1, np.int64)
@@ -2284,6 +2364,42 @@ def save_sorted_layout(path: str, layout: SortedLayout) -> None:
     tmp = path + ".tmp.npz"  # ends in .npz so savez does not rename it
     np.savez(tmp, __meta__=np.frombuffer(repr(meta).encode(), np.uint8), **arrays)
     os.replace(tmp, path)
+    _evict_layout_cache(os.path.dirname(path), keep=path)
+
+
+def _evict_layout_cache(cdir: str, keep: str = "") -> None:
+    """LRU-evict layout cache files past the byte budget
+    (CUGRAPH_TPU_CACHE_BUDGET, default 24 GB — a scale-23 range layout is
+    ~6 GB, so a scale sweep no longer fills a shared host's disk)."""
+    import os
+
+    budget = int(
+        os.environ.get("CUGRAPH_TPU_CACHE_BUDGET", 24 * 1024**3)
+    )
+    try:
+        files = [
+            os.path.join(cdir, f)
+            for f in os.listdir(cdir)
+            if f.startswith("spmv2_layout_") and f.endswith(".npz")
+        ]
+        stats = [(p, os.stat(p)) for p in files]
+    except OSError:
+        return
+    total = sum(st.st_size for _, st in stats)
+    if total <= budget:
+        return
+    # oldest access first; never evict the file just written
+    stats.sort(key=lambda ps: ps[1].st_atime)
+    for p, st in stats:
+        if total <= budget:
+            break
+        if os.path.abspath(p) == os.path.abspath(keep):
+            continue
+        try:
+            os.remove(p)
+            total -= st.st_size
+        except OSError:
+            pass
 
 
 def load_sorted_layout(path: str) -> SortedLayout:
