@@ -76,8 +76,11 @@ def default_config_for(num_vertices: int) -> Spmv2Config:
     the effective heavy threshold — heavy traffic rides the dense hub
     path anyway."""
     need = -(-num_vertices // (LANES * 64))
-    # bin_rows must divide part_rows (2048): round UP to the next divisor
-    for br in (512, 1024, 2048):
+    # bin_rows must divide part_rows (2048): round UP to the next divisor.
+    # Capped at 1024 so LAYERS = part_rows // bin_rows stays >= 2 — the
+    # end-at-target placement needs at least two layers (scale 24+ takes
+    # more bins instead; runs stay chunk-dense down to ~1.5k elems/run)
+    for br in (512, 1024):
         if br >= need:
             break
     return Spmv2Config(bin_rows=br)
