@@ -41,8 +41,30 @@ def build_graph(scale: int, edgefactor: int):
     )
     if cpath and os.path.exists(cpath):
         return ser.load_graph(cpath), num_edges
-    src, dst = cg.rmat_edgelist(scale=scale, num_edges=num_edges, scramble=True)
-    src, dst = np.asarray(src), np.asarray(dst)
+    if num_edges > (1 << 26):
+        # chunked generation: one 268M-edge jit keeps ~24 unrolled level
+        # buffers live (~78 GB observed at scale 24); 16M-edge chunks cap
+        # the working set
+        import jax
+
+        chunk = 1 << 24
+        srcs, dsts = [], []
+        for i in range(0, num_edges, chunk):
+            s, d = cg.rmat_edgelist(
+                scale=scale,
+                num_edges=min(chunk, num_edges - i),
+                scramble=True,
+                rng_key=jax.random.PRNGKey(1 + i),
+            )
+            srcs.append(np.asarray(s))
+            dsts.append(np.asarray(d))
+        src, dst = np.concatenate(srcs), np.concatenate(dsts)
+        del srcs, dsts
+    else:
+        src, dst = cg.rmat_edgelist(
+            scale=scale, num_edges=num_edges, scramble=True
+        )
+        src, dst = np.asarray(src), np.asarray(dst)
     from cugraph_tpu.core import renumber as rn
 
     new_to_old = rn.compute_renumber_map(src, dst, 2**scale)

@@ -192,6 +192,7 @@ def build_sorted_layout(
     cfg: Spmv2Config = Spmv2Config(),
     pad_weight: float = 0.0,
     num_src_vertices: Optional[int] = None,
+    budget_num: int = 15,
 ) -> SortedLayout:
     """pad_weight: weight stored in padding slots. 0 for the sum pipeline
     (identity through vals*w); +inf for the min-plus pipeline (identity
@@ -470,7 +471,7 @@ def build_sorted_layout(
     # fill margin: the end-at-target band packing (and the mode-0
     # first-fit fallback) needs some per-lane slack; bin bands are tiny
     # (degree-decorrelating transposed slot map), so 15/16 holds
-    sorted_budget = max((PR * 15) // 16, CH)
+    sorted_budget = max((PR * budget_num) // 16, CH)
     for bi in range(n_bins):
         ridxs = runs_by_bin.get(bi, [])
         norm_chunks = [
@@ -2501,23 +2502,28 @@ def build_sorted_layout_auto(
                 return load_sorted_layout(cpath)
             except Exception:
                 pass  # corrupt/stale cache entry: rebuild
-    heavy = cfg.heavy_dst  # build_sorted_layout caps at 4 lane columns
-    floor = min(128, heavy)  # tiny test configs start below 128
+    floor = min(128, cfg.heavy_dst)  # tiny test configs start below 128
     last = None
-    while heavy >= floor:
-        try:
-            lay = build_sorted_layout(
-                dsts, srcs, weights, num_vertices,
-                dataclasses.replace(cfg, heavy_dst=heavy),
-                pad_weight=pad_weight,
-                num_src_vertices=num_src_vertices,
-            )
-            if cpath is not None:
-                save_sorted_layout(cpath, lay)
-            return lay
-        except ValueError as exc:
-            last = exc
-            heavy //= 2
+    # ladder: dense packing first; on round/balance overflow relax the
+    # row budget (the mode-0 fallback's lane balance needs headroom),
+    # then halve the heavy-dst threshold (more simple parts)
+    for bnum in (15, 14):
+        heavy = cfg.heavy_dst
+        while heavy >= floor:
+            try:
+                lay = build_sorted_layout(
+                    dsts, srcs, weights, num_vertices,
+                    dataclasses.replace(cfg, heavy_dst=heavy),
+                    pad_weight=pad_weight,
+                    num_src_vertices=num_src_vertices,
+                    budget_num=bnum,
+                )
+                if cpath is not None:
+                    save_sorted_layout(cpath, lay)
+                return lay
+            except ValueError as exc:
+                last = exc
+                heavy //= 2
     raise last
 
 

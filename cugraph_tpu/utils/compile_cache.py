@@ -17,6 +17,13 @@ def enable_compilation_cache(cache_dir: str | None = None) -> None:
         return
     import jax
 
+    # CPU backends: JAX's persistent cache stores AOT CPU executables
+    # keyed WITHOUT the exact machine features; loading one compiled on a
+    # different host SIGILLs (observed via the remote-compile service's
+    # avx512/amx features vs this host). Only the TPU tunnel compiles are
+    # worth caching anyway.
+    if jax.default_backend() not in ("tpu", "axon"):
+        return
     if cache_dir is None:
         cache_dir = os.environ.get(
             "CUGRAPH_TPU_COMPILE_CACHE_DIR",
