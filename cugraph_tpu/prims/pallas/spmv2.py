@@ -2504,26 +2504,29 @@ def build_sorted_layout_auto(
                 pass  # corrupt/stale cache entry: rebuild
     floor = min(128, cfg.heavy_dst)  # tiny test configs start below 128
     last = None
-    # ladder: dense packing first; on round/balance overflow relax the
-    # row budget (the mode-0 fallback's lane balance needs headroom),
-    # then halve the heavy-dst threshold (more simple parts)
-    for bnum in (15, 14):
-        heavy = cfg.heavy_dst
-        while heavy >= floor:
-            try:
-                lay = build_sorted_layout(
-                    dsts, srcs, weights, num_vertices,
-                    dataclasses.replace(cfg, heavy_dst=heavy),
-                    pad_weight=pad_weight,
-                    num_src_vertices=num_src_vertices,
-                    budget_num=bnum,
-                )
-                if cpath is not None:
-                    save_sorted_layout(cpath, lay)
-                return lay
-            except ValueError as exc:
-                last = exc
-                heavy //= 2
+    # ladder: dense packing first, then relax the row budget (the mode-0
+    # fallback's lane balance needs headroom), then halve the heavy-dst
+    # threshold at the relaxed budget — each failed attempt costs a full
+    # host build pass, so the budget drops BEFORE the heavy sweep
+    attempts = [(15, cfg.heavy_dst)]
+    heavy = cfg.heavy_dst
+    while heavy >= floor:
+        attempts.append((14, heavy))
+        heavy //= 2
+    for bnum, heavy in attempts:
+        try:
+            lay = build_sorted_layout(
+                dsts, srcs, weights, num_vertices,
+                dataclasses.replace(cfg, heavy_dst=heavy),
+                pad_weight=pad_weight,
+                num_src_vertices=num_src_vertices,
+                budget_num=bnum,
+            )
+            if cpath is not None:
+                save_sorted_layout(cpath, lay)
+            return lay
+        except ValueError as exc:
+            last = exc
     raise last
 
 
