@@ -193,6 +193,7 @@ def build_sorted_layout(
     pad_weight: float = 0.0,
     num_src_vertices: Optional[int] = None,
     budget_num: int = 15,
+    split_pieces: bool = True,
 ) -> SortedLayout:
     """pad_weight: weight stored in padding slots. 0 for the sum pipeline
     (identity through vals*w); +inf for the min-plus pipeline (identity
@@ -432,7 +433,10 @@ def build_sorted_layout(
         renumbering concentrates in-degree in the low-id bins) produce
         ~500-row runs that would otherwise strand ~20% of every part's
         rows (the kernel pays full PR rows of VPU work per part, so part
-        fill IS the cost model)."""
+        fill IS the cost model). split_pieces=False (the auto ladder's
+        last rung) restores the pre-split close-early behavior — its
+        accidental slack is what the mode-0 lane balance needs on graphs
+        where dense packing overflows it."""
         out = []
         budget = row_budget if row_budget is not None else PR
         cur_pieces, cur_rows = [], 0
@@ -442,7 +446,11 @@ def build_sorted_layout(
             need = piece_rows(sl, r0)
             while cur_rows + need > budget:
                 room = budget - cur_rows
-                if room >= CH and len(sl):
+                if (
+                    (split_pieces or need > budget)
+                    and room >= CH
+                    and len(sl)
+                ):
                     # chunk-aligned prefix fills the current part
                     pos = sl + r0 * LANES
                     c0 = pos.min() // (CH * LANES)
@@ -2508,12 +2516,12 @@ def build_sorted_layout_auto(
     # fallback's lane balance needs headroom), then halve the heavy-dst
     # threshold at the relaxed budget — each failed attempt costs a full
     # host build pass, so the budget drops BEFORE the heavy sweep
-    attempts = [(15, cfg.heavy_dst)]
+    attempts = [(15, cfg.heavy_dst, True), (14, cfg.heavy_dst, True)]
     heavy = cfg.heavy_dst
     while heavy >= floor:
-        attempts.append((14, heavy))
+        attempts.append((14, heavy, False))
         heavy //= 2
-    for bnum, heavy in attempts:
+    for bnum, heavy, split in attempts:
         try:
             lay = build_sorted_layout(
                 dsts, srcs, weights, num_vertices,
@@ -2521,6 +2529,7 @@ def build_sorted_layout_auto(
                 pad_weight=pad_weight,
                 num_src_vertices=num_src_vertices,
                 budget_num=bnum,
+                split_pieces=split,
             )
             if cpath is not None:
                 save_sorted_layout(cpath, lay)

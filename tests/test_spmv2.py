@@ -413,4 +413,5 @@ def test_default_config_scaling():
     assert default_config_for(1 << 21).bin_rows == 512  # scale-21 cache key stable
     c23 = default_config_for(1 << 23)
     assert c23.bin_rows == 1024 and c23.part_rows % c23.bin_rows == 0
-    assert default_config_for(1 << 25).bin_rows == 2048  # capped (route words)
+    # capped at 1024 so the end-at-target placement keeps LAYERS >= 2
+    assert default_config_for(1 << 25).bin_rows == 1024
