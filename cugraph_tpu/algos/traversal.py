@@ -105,11 +105,18 @@ def _bfs_pallas_jit(g: Graph, src_mask, depth_limit: int, lay):
     ids = jnp.arange(v, dtype=jnp.int32).astype(jnp.float32)
     dist0 = jnp.where(src_mask, 0, INVALID_DISTANCE).astype(jnp.int32)
     pred0 = jnp.full(v, INVALID_VERTEX, dtype=jnp.int32)
-    cap_e = 1 << 17
-    cap_v = min(v, 1 << 14)
-    # the sparse push costs ~15-25 ms (nonzero compaction + XLA scatter)
-    # regardless of frontier size; it only beats the dense sweep once the
-    # sweep itself is expensive (multi-range graphs past ~4M vertices)
+    # Sparse-push caps. The push's fixed cost is the V-sized nonzero
+    # compaction (~15-25 ms); its variable cost is the cap_e-sized
+    # minors gather + reach scatter (~0.1 Gelem/s XLA ops, ~10 ms at
+    # 2^19), so levels up to ~half a million frontier out-edges still
+    # beat a ~90 ms dense multi-range min-plus sweep. Env-tunable for
+    # benchmarking (read at TRACE time — new values need a new process).
+    import os
+
+    cap_e = int(os.environ.get("CUGRAPH_TPU_BFS_CAP_E", 1 << 19))
+    cap_v = min(v, int(os.environ.get("CUGRAPH_TPU_BFS_CAP_V", 1 << 17)))
+    # the sparse push only beats the dense sweep once the sweep itself is
+    # expensive (multi-range graphs past ~4M vertices)
     use_sparse = v >= (1 << 22)
 
     def cond(state):

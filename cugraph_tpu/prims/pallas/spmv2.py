@@ -83,7 +83,12 @@ def default_config_for(num_vertices: int) -> Spmv2Config:
     for br in (512, 1024):
         if br >= need:
             break
-    return Spmv2Config(bin_rows=br)
+    # slab_rows 4096 halves the per-bin run count (fewer piece boundaries
+    # -> fewer duplicated boundary chunks AND denser part packing):
+    # measured at RMAT scale 21, parts 183 -> 168 and real/copied cells
+    # 85.4% -> 92.1% for +2 route1 stages. 8192 would block the k=8
+    # multi-stream SpMM on VMEM (slab blocks grow past the 110 MB limit).
+    return Spmv2Config(bin_rows=br, slab_rows=4096)
 
 
 @jax.tree_util.register_dataclass
@@ -194,12 +199,20 @@ def build_sorted_layout(
     num_src_vertices: Optional[int] = None,
     budget_num: int = 15,
     split_pieces: bool = True,
+    weight_variants: Optional[list] = None,
 ) -> SortedLayout:
     """pad_weight: weight stored in padding slots. 0 for the sum pipeline
     (identity through vals*w); +inf for the min-plus pipeline (identity
     through vals+w under min). num_src_vertices: width of the source id
     space when this layout covers one src range of a multi-range pipeline
-    (x table sized by it; dst bins still span num_vertices)."""
+    (x table sized by it; dst bins still span num_vertices).
+
+    weight_variants: optional [(weights_or_None, pad_weight), ...] —
+    every routing/packing/placement field depends only on the edge
+    POSITIONS, so sibling layouts differing only in the w slot array
+    come for free from the same host pass. When given, the return value
+    is (layout, [w_arrays]); construct each sibling via
+    dataclasses.replace(layout, w=wk)."""
     e = len(dsts)
     dsts = np.asarray(dsts, dtype=np.int64)
     srcs = np.asarray(srcs, dtype=np.int64)
@@ -333,6 +346,16 @@ def build_sorted_layout(
     slot_of_edge = final_row * LANES + lane_of_edge
     idx_np[final_row, lane_of_edge] = idx_of_edge
     w_np[final_row, lane_of_edge] = w
+    w_sibs = []
+    for wts_k, pad_k in weight_variants or ():
+        wk = (
+            np.ones(e, dtype=np.float32)
+            if wts_k is None
+            else np.asarray(wts_k, dtype=np.float32)
+        )
+        a = np.full((slot_rows, LANES), pad_k, dtype=np.float32)
+        a[final_row, lane_of_edge] = wk
+        w_sibs.append(a)
 
     _T("stage3")
     # ---- bins + heavy (hub) classification ------------------------------
@@ -554,6 +577,9 @@ def build_sorted_layout(
             cur_row += int(c1 - c0) * CH
         if cur_row > PR:
             raise ValueError("part overflow")
+        _FILL_STATS.append(
+            (cur_row, sum(len(x) for x in elem_ids), len(prt["pieces"]))
+        )
         chunk_src.extend(my_chunks)
         part_meta.append(
             dict(
@@ -887,7 +913,7 @@ def build_sorted_layout(
                 r1_hi[s * SR : (s + 1) * SR] = packed[1].reshape(SR, LANES)
 
     _T("stage10")
-    return SortedLayout(
+    lay = SortedLayout(
         prow=jnp.asarray(prow_np),
         idx=jnp.asarray(idx_np),
         w=jnp.asarray(w_np),
@@ -932,6 +958,9 @@ def build_sorted_layout(
         num_src=vs,
         n_out_blocks=n_out_blocks,
     )
+    if weight_variants is not None:
+        return lay, [jnp.asarray(a) for a in w_sibs]
+    return lay
 
 
 def _n_stages(n):
@@ -982,6 +1011,7 @@ _EAT_STATS = {
     "no_layers": 0, "chunk_overflow": 0, "layer0_underflow": 0,
     "lane_exhausted": 0, "ok": 0,
 }
+_FILL_STATS: list = []  # (rows_copied, real_elems, n_pieces) per part
 
 
 def _hub_free_placement(d_of_elem, pos, PR, BR):
@@ -1137,74 +1167,88 @@ def _try_eat_placement(d_loc, pos, PR, BR):
     # slot closest below (r_want = (f-1) mod BR); buckets keyed by r_d,
     # tallest-first within a bucket; a 512-bit mask finds the nearest
     # nonempty bucket in O(1) big-int ops.
-    buckets = [[] for _ in range(BR)]
     order = _argsort_u64(r_d * (1 << 20) + ((1 << 19) - m_tot))
-    for di in order.tolist():
-        buckets[int(r_d[di])].append(di)
-    bmask = 0
-    for b in range(BR):
-        if buckets[b]:
-            bmask |= 1 << b
-    heads = [0] * BR  # pop pointer per bucket (tallest first)
-    lane_of = np.zeros(n_dst, np.int64)
-    e_top_of = np.zeros(n_dst, np.int64)
-    placed_mask = np.zeros(n_dst, bool)
-    lane_floor = np.full(LANES, PR, np.int64)
-    remaining = n_dst
+    order_l = order.tolist()
+    rd_l = r_d.tolist()
     mt_l = m_tot.tolist()
     nc_l = n_c.tolist()
     mp_l = m_p.tolist()
-    for l in range(LANES):
+
+    def _attempt(n_greedy):
+        """Greedy pack into lanes [0, n_greedy), then split leftovers over
+        every lane's remaining floor. Reserved lanes (>= n_greedy) keep
+        floor PR, so each offers L fresh slots per row class — the retry
+        ladder reserves lanes when dense packing strands row classes whose
+        layer slots sit above every packed floor."""
+        buckets = [[] for _ in range(BR)]
+        for di in order_l:
+            buckets[rd_l[di]].append(di)
+        bmask = 0
+        for b in range(BR):
+            if buckets[b]:
+                bmask |= 1 << b
+        heads = [0] * BR  # pop pointer per bucket (tallest first)
+        lane_of = np.zeros(n_dst, np.int64)
+        e_top_of = np.zeros(n_dst, np.int64)
+        placed_mask = np.zeros(n_dst, bool)
+        lane_floor = np.full(LANES, PR, np.int64)
+        remaining = n_dst
+        for l in range(n_greedy):
+            if not remaining:
+                break
+            floor = PR
+            while remaining and floor > 0:
+                r_want = (floor - 1) % BR
+                below = bmask & ((1 << (r_want + 1)) - 1)
+                b = (
+                    (below.bit_length() - 1)
+                    if below
+                    else (bmask.bit_length() - 1)
+                )
+                placed = False
+                while b >= 0:
+                    k_max = (floor - 1 - b) // BR
+                    if k_max < 0:
+                        break  # floor below every slot of any bucket <= b
+                    if k_max > L - 1:
+                        k_max = L - 1
+                    lst = buckets[b]
+                    hd = heads[b]
+                    pick = -1
+                    for i in range(hd, len(lst)):
+                        di = lst[i]
+                        k_min = k_max - nc_l[di] + 1
+                        if k_min < 0:
+                            continue  # too many chunks for the layers left
+                        if k_min == 0 and mp_l[di] > b + 1:
+                            continue  # bottom chunk under-rowed at layer 0
+                        pick = i
+                        break
+                    if pick >= 0:
+                        di = lst[pick]
+                        # swap-pop keeps tallest-first ordering
+                        # approximately; exactness does not matter
+                        lst[hd], lst[pick] = lst[pick], lst[hd]
+                        heads[b] = hd + 1
+                        if heads[b] == len(lst):
+                            bmask &= ~(1 << b)
+                        e_top = k_max * BR + b
+                        lane_of[di] = l
+                        e_top_of[di] = e_top
+                        placed_mask[di] = True
+                        floor = e_top - mt_l[di] + 1
+                        remaining -= 1
+                        placed = True
+                        break
+                    # nothing fits in this bucket: walk to the next lower
+                    nb = bmask & ((1 << b) - 1)
+                    b = nb.bit_length() - 1 if nb else -1
+                if not placed:
+                    break  # lane done; leftovers try the next lane
+            lane_floor[l] = floor
+        frags: list = []  # (di, end_row, height, lane) leftover splits
         if not remaining:
-            break
-        floor = PR
-        while remaining and floor > 0:
-            r_want = (floor - 1) % BR
-            below = bmask & ((1 << (r_want + 1)) - 1)
-            b = (below.bit_length() - 1) if below else (bmask.bit_length() - 1)
-            placed = False
-            while b >= 0:
-                k_max = (floor - 1 - b) // BR
-                if k_max < 0:
-                    break  # floor below every slot of any bucket <= b
-                if k_max > L - 1:
-                    k_max = L - 1
-                lst = buckets[b]
-                hd = heads[b]
-                pick = -1
-                for i in range(hd, len(lst)):
-                    di = lst[i]
-                    k_min = k_max - nc_l[di] + 1
-                    if k_min < 0:
-                        continue  # too many chunks for the remaining layers
-                    if k_min == 0 and mp_l[di] > b + 1:
-                        continue  # bottom chunk under-rowed at layer 0
-                    pick = i
-                    break
-                if pick >= 0:
-                    di = lst[pick]
-                    # swap-pop keeps tallest-first ordering approximately;
-                    # exactness does not matter for feasibility
-                    lst[hd], lst[pick] = lst[pick], lst[hd]
-                    heads[b] = hd + 1
-                    if heads[b] == len(lst):
-                        bmask &= ~(1 << b)
-                    e_top = k_max * BR + b
-                    lane_of[di] = l
-                    e_top_of[di] = e_top
-                    placed_mask[di] = True
-                    floor = e_top - mt_l[di] + 1
-                    remaining -= 1
-                    placed = True
-                    break
-                # nothing fits in this bucket: walk to the next lower one
-                nb = bmask & ((1 << b) - 1)
-                b = nb.bit_length() - 1 if nb else -1
-            if not placed:
-                break  # lane done; leftovers try the next lane
-        lane_floor[l] = floor
-    frags: list = []  # (di, end_row, height, lane) splits of leftovers
-    if remaining:
+            return lane_of, e_top_of, placed_mask, frags
         # split pass: a leftover band may split into <= L fragments, one
         # per layer slot of its row class (each ends at a DISTINCT row
         # e ≡ r_d (mod BR); the layer merge sums/mins the partial
@@ -1215,16 +1259,14 @@ def _try_eat_placement(d_loc, pos, PR, BR):
         heapq.heapify(fheap)
         leftovers = np.nonzero(~placed_mask)[0]
         leftovers = leftovers[np.argsort(-m_tot[leftovers], kind="stable")]
-        ok_split = True
         for di in leftovers.tolist():
             m = mt_l[di]
-            b = int(r_d[di])
+            b = rd_l[di]
             used_e: set = set()
             tried: list = []
             while m > 0:
                 if not fheap:
-                    ok_split = False
-                    break
+                    return None
                 negfl, l = heapq.heappop(fheap)
                 fl = -negfl
                 # largest unused e ≡ b (mod BR) strictly below the floor
@@ -1241,21 +1283,37 @@ def _try_eat_placement(d_loc, pos, PR, BR):
                 m -= take
             for item in tried:
                 heapq.heappush(fheap, item)
-            if not ok_split:
-                break
-        if not ok_split:
-            _EAT_STATS["lane_exhausted"] += 1
-            import os
+        return lane_of, e_top_of, placed_mask, frags
 
-            if os.environ.get("SPMV2_TIMERS"):
-                print(
-                    f"  eat fail: n_dst={n_dst} remaining={remaining} "
-                    f"elems={int(m_tot.sum())} cap={PR * LANES} "
-                    f"n_c_max={int(n_c.max())}",
-                    flush=True,
-                )
-            return None
+    # No reserve-lane retries: measured on RMAT scale 21, the failing
+    # parts have arc DENSITY above the lane-layer ring count (each dst is
+    # a fixed circular arc (b-m, b] mod BR; max density 510-532 vs 512
+    # rings), so they are structurally mode-0 — reserving lanes only
+    # shrinks greedy capacity and the per-fragment class-alignment waste
+    # (~BR/2 rows) makes the split pass strictly worse.
+    result = _attempt(LANES)
+    if result is None:
+        _EAT_STATS["lane_exhausted"] += 1
+        import os
+
+        if os.environ.get("SPMV2_TIMERS"):
+            print(
+                f"  eat fail: n_dst={n_dst} "
+                f"elems={int(m_tot.sum())} cap={PR * LANES} "
+                f"n_c_max={int(n_c.max())}",
+                flush=True,
+            )
+        dump = os.environ.get("SPMV2_EAT_DUMP")
+        if dump:
+            k = _EAT_STATS["lane_exhausted"]
+            np.savez(f"{dump}/eat_fail_{k}.npz", d_loc=d_loc, pos=pos,
+                     PR=PR, BR=BR)
+        return None
+    lane_of, e_top_of, placed_mask, frags = result
+    if frags:
         _EAT_STATS["split_placed"] = _EAT_STATS.get("split_placed", 0) + 1
+        leftovers = np.nonzero(~placed_mask)[0]
+        leftovers = leftovers[np.argsort(-m_tot[leftovers], kind="stable")]
 
     # per-element targets: dst band rows (e_top - m + 1 .. e_top)
     did = np.searchsorted(uniq, d_ord)
@@ -1491,6 +1549,7 @@ def _slab_benes_call(layout, vals, interpret):
         out_shape=_out_struct(
             vals.shape, jnp.float32, vals, layout.route1_lo
         ),
+        compiler_params=_vmem_params(interpret),
         interpret=interpret,
     )(vals, layout.route1_lo, layout.route1_hi)
 
@@ -2114,7 +2173,20 @@ def _sorted_spmm_pass_jit(layout, cols, interpret=False):
     k = cols.shape[0] // 2
     tables = _pack_tables_multi(layout, cols)
     vals = _expand_multi_call(layout, tables, k, interpret)
-    binned = _slab_benes_multi_call(layout, vals, interpret)
+    # slab Benes VMEM: live streams cost ~2x their block bytes (windows +
+    # register spills), so cap streams per call such that
+    # (2*kc + 2) blocks * 2 (buffering) * ~1.5 stays under the 110 MB
+    # limit — 4 streams at slab_rows 2048 (1 MB blocks), 2 at 4096
+    kc = max(1, (4 * 2048) // layout.cfg.slab_rows)
+    if k <= kc:
+        binned = _slab_benes_multi_call(layout, vals, interpret)
+    else:
+        binned = []
+        for i in range(0, k, kc):
+            binned.extend(
+                _slab_benes_multi_call(layout, vals[i : i + kc], interpret)
+            )
+        binned = tuple(binned)
     outs = _sort_reduce_multi_call(layout, binned, interpret)
     # outs order: a0..ak-1, b0..bk-1 -> interleave back to feature order
     outs = [outs[s % 2 * k + s // 2] for s in range(2 * k)]
@@ -2293,10 +2365,16 @@ def sorted_spmm(
         return jnp.swapaxes(out, 0, 1)
 
     # multi-stream passes: 2k feature columns per routing pass; k bounded
-    # by the VMEM budget for the k resident packed tables
+    # by the VMEM room for the k resident packed tables in the expand
+    # kernel. k is capped at 4: measured on v5e, k=8 OOMs the shared slab
+    # Benes (register-allocator spills ~= one extra block per live stream:
+    # 77.6 MB of spill slots on top of 72 MB of block windows), and the
+    # cost model says high k is ~12% anyway — per-stream roll/selects
+    # dominate once the route decode is amortized over 4 streams.
     first = layout.parts[0] if isinstance(layout, MultiSortedLayout) else layout
-    tbytes = max(first.x_rows * LANES * 4, 1)
-    k = max(1, min(4, _SORTED_VMEM_BUDGET * 4 // tbytes, (f + 1) // 2))
+    n_hub = first.hub_ids.shape[0]
+    tbytes = max((first.x_rows + n_hub) * LANES * 4, 1)
+    k = max(1, min(4, _SPMM_TABLE_VMEM // tbytes, (f + 1) // 2))
     group = 2 * k
     npass = -(-f // group)
     if f % group:
@@ -2317,6 +2395,8 @@ def sorted_spmm(
 _SORTED_CACHE: dict = {}
 # single-chip VMEM budget for the resident x table (f32)
 _SORTED_VMEM_BUDGET = 10 * 1024 * 1024
+# VMEM pool for the k stacked packed tables of the multi-stream SpMM pass
+_SPMM_TABLE_VMEM = 92 * 1024 * 1024
 
 # ---------------------------------------------------------------------------
 # Disk cache: layout builds are host-bound (minutes at RMAT scale 20+ on a
@@ -2439,7 +2519,15 @@ _SORTED_MAX_VERTICES = 1 << 25
 
 
 def sorted_layout_available(num_vertices: int) -> bool:
-    if jax.default_backend() not in ("tpu", "axon"):
+    """True when the sorted pipeline serves this graph on this backend.
+    CUGRAPH_TPU_FORCE_SORTED=1 bypasses the backend gate so a CPU host
+    can pre-build/warm the disk layout cache with byte-identical cache
+    keys for a later TPU run."""
+    import os
+
+    if jax.default_backend() not in ("tpu", "axon") and not os.environ.get(
+        "CUGRAPH_TPU_FORCE_SORTED"
+    ):
         return False
     return num_vertices <= _SORTED_MAX_VERTICES
 
@@ -2454,62 +2542,97 @@ def build_multi_sorted_layout(
     cfg: Optional[Spmv2Config] = None,
     pad_weight: float = 0.0,
     span: Optional[int] = None,
-) -> MultiSortedLayout:
+    weight_variants: Optional[list] = None,
+):
     """Split sources into span-wide ranges and build one sub-layout per
     non-empty range (each range's x table fits the VMEM budget). Empty
-    ranges are skipped; sub-layouts share the disk cache individually."""
+    ranges are skipped; sub-layouts share the disk cache individually.
+    weight_variants: as in build_sorted_layout_auto — returns a list of
+    MultiSortedLayouts ([main, *siblings]) from one host pass per range."""
     span = span or _SRC_RANGE_SPAN
     cfg = cfg or default_config_for(int(num_vertices))
     srcs = np.asarray(srcs, dtype=np.int64)
     dsts = np.asarray(dsts, dtype=np.int64)
     k_tot = max(-(-int(num_vertices) // span), 1)
-    parts, range_of = [], []
+    n_var = 1 + len(weight_variants or ())
+    parts = [[] for _ in range(n_var)]
+    range_of = []
     for k in range(k_tot):
         m = (srcs >= k * span) & (srcs < (k + 1) * span)
         if not m.any():
             continue
         wk = None if weights is None else np.asarray(weights)[m]
-        parts.append(
-            build_sorted_layout_auto(
+        if weight_variants is not None:
+            wv = [
+                (None if w_ is None else np.asarray(w_)[m], p_)
+                for w_, p_ in weight_variants
+            ]
+            lays = build_sorted_layout_auto(
                 dsts[m], srcs[m] - k * span, wk, num_vertices, cfg,
                 pad_weight=pad_weight, num_src_vertices=span,
+                weight_variants=wv,
             )
-        )
+        else:
+            lays = [
+                build_sorted_layout_auto(
+                    dsts[m], srcs[m] - k * span, wk, num_vertices, cfg,
+                    pad_weight=pad_weight, num_src_vertices=span,
+                )
+            ]
+        for i, lk in enumerate(lays):
+            parts[i].append(lk)
         range_of.append(k)
-    return MultiSortedLayout(
-        parts=tuple(parts),
-        range_of=tuple(range_of),
-        span=span,
-        num_vertices=int(num_vertices),
-        num_edges=int(len(dsts)),
-    )
+    outs = [
+        MultiSortedLayout(
+            parts=tuple(p),
+            range_of=tuple(range_of),
+            span=span,
+            num_vertices=int(num_vertices),
+            num_edges=int(len(dsts)),
+        )
+        for p in parts
+    ]
+    return outs if weight_variants is not None else outs[0]
 
 
 def build_sorted_layout_auto(
     dsts, srcs, weights, num_vertices, cfg: Optional[Spmv2Config] = None,
     pad_weight: float = 0.0,
     num_src_vertices: Optional[int] = None,
+    weight_variants: Optional[list] = None,
 ) -> SortedLayout:
     """build_sorted_layout with an auto-retry ladder: on round/balance
     overflow, halve the heavy-dst threshold (more simple parts). Built
     layouts are persisted to a disk cache (host builds cost minutes at
-    RMAT scale 20+); set CUGRAPH_TPU_CACHE_DIR="" to disable."""
+    RMAT scale 20+); set CUGRAPH_TPU_CACHE_DIR="" to disable.
+
+    weight_variants: optional extra (weights, pad_weight) pairs built and
+    cached from the SAME host pass (routing depends on positions only).
+    Returns [main, *siblings] when given."""
     import os
 
     cfg = cfg or Spmv2Config()
     cdir = _cache_dir()
     cpath = None
+    all_specs = [(weights, pad_weight)] + list(weight_variants or ())
+    cpaths = [None] * len(all_specs)
     if cdir is not None:
-        key = _layout_cache_key(
-            dsts, srcs, weights, num_vertices, cfg, pad_weight,
-            num_src_vertices,
-        )
-        cpath = os.path.join(cdir, f"spmv2_layout_{key}.npz")
-        if os.path.exists(cpath):
+        for i, (wts_k, pad_k) in enumerate(all_specs):
+            key = _layout_cache_key(
+                dsts, srcs, wts_k, num_vertices, cfg, pad_k,
+                num_src_vertices,
+            )
+            cpaths[i] = os.path.join(cdir, f"spmv2_layout_{key}.npz")
+        cpath = cpaths[0]
+        cached = []
+        for p in cpaths:
             try:
-                return load_sorted_layout(cpath)
+                cached.append(load_sorted_layout(p))
             except Exception:
-                pass  # corrupt/stale cache entry: rebuild
+                cached = None  # missing/corrupt: rebuild the set
+                break
+        if cached is not None:
+            return cached if weight_variants is not None else cached[0]
     floor = min(128, cfg.heavy_dst)  # tiny test configs start below 128
     last = None
     # ladder: dense packing first, then relax the row budget (the mode-0
@@ -2523,17 +2646,30 @@ def build_sorted_layout_auto(
         heavy //= 2
     for bnum, heavy, split in attempts:
         try:
-            lay = build_sorted_layout(
+            out = build_sorted_layout(
                 dsts, srcs, weights, num_vertices,
                 dataclasses.replace(cfg, heavy_dst=heavy),
                 pad_weight=pad_weight,
                 num_src_vertices=num_src_vertices,
                 budget_num=bnum,
                 split_pieces=split,
+                weight_variants=(
+                    list(weight_variants)
+                    if weight_variants is not None
+                    else None
+                ),
             )
-            if cpath is not None:
-                save_sorted_layout(cpath, lay)
-            return lay
+            if weight_variants is not None:
+                lay, w_sibs = out
+                lays = [lay] + [
+                    dataclasses.replace(lay, w=wk) for wk in w_sibs
+                ]
+            else:
+                lays = [out]
+            for p, lk in zip(cpaths, lays):
+                if p is not None:
+                    save_sorted_layout(p, lk)
+            return lays if weight_variants is not None else lays[0]
         except ValueError as exc:
             last = exc
     raise last
@@ -2589,3 +2725,43 @@ def sorted_layout_for(
         _SORTED_CACHE.clear()
     _SORTED_CACHE[key] = (adj.majors, layout)
     return layout
+
+
+def sorted_layouts_prebuild(graph, specs, cfg: Optional[Spmv2Config] = None):
+    """Build several weight variants of the pull layout from ONE host pass
+    (routing depends only on edge positions): specs is a list of
+    (use_weights, variant) pairs as accepted by sorted_layout_for. Each
+    result lands in the same disk-cache slot sorted_layout_for would use,
+    so later calls (possibly in another process / on the TPU backend) hit
+    the cache. Returns the list of layouts."""
+    if not sorted_layout_available(graph.num_vertices):
+        return None
+    adj = graph.csc()
+    e = adj.num_edges
+    d = np.asarray(adj.majors)[:e].astype(np.int64)
+    s = np.asarray(adj.minors)[:e].astype(np.int64)
+
+    def wts_pad(use_weights, variant):
+        wts = (
+            None
+            if (adj.weights is None or not use_weights)
+            else np.asarray(adj.weights)[:e]
+        )
+        pad = 0.0
+        if variant == "min":
+            pad = float(np.inf)
+            if wts is None:
+                wts = np.zeros(e, np.float32)
+        return wts, pad
+
+    pairs = [wts_pad(uw, va) for uw, va in specs]
+    cfg = cfg or default_config_for(graph.num_vertices)
+    build = (
+        build_multi_sorted_layout
+        if _needs_src_ranges(graph.num_vertices)
+        else build_sorted_layout_auto
+    )
+    return build(
+        d, s, pairs[0][0], graph.num_vertices, cfg,
+        pad_weight=pairs[0][1], weight_variants=pairs[1:],
+    )

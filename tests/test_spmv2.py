@@ -407,6 +407,53 @@ def test_multi_range_with_empty_range_and_mega_hub():
     np.testing.assert_allclose(y, oracle, rtol=1e-4, atol=1e-4)
 
 
+def test_weight_variants_shared_build(tmp_path, monkeypatch):
+    """One host pass emits sibling layouts differing only in the w slot
+    array (routing depends on edge positions only): the min sibling must
+    be field-identical to a direct min build, land in the disk-cache slot
+    a direct build would use, and produce the min-plus oracle result."""
+    from cugraph_tpu.prims.pallas.spmv2 import (
+        build_sorted_layout_auto,
+        sorted_spmv,
+    )
+
+    monkeypatch.setenv("CUGRAPH_TPU_CACHE_DIR", str(tmp_path))
+    rng = np.random.default_rng(7)
+    v, e = 900, 4000
+    src, dst, w = _random_graph(rng, v, e, hubby=True)
+    zeros = np.zeros(e, np.float32)
+    sum_lay, min_lay = build_sorted_layout_auto(
+        dst, src, w, v, TINY,
+        weight_variants=[(zeros, float(np.inf))],
+    )
+    direct = build_sorted_layout_auto(
+        dst, src, zeros, v, TINY, pad_weight=float(np.inf)
+    )  # disk-cache hit from the joint build (same key)
+    for f in dataclasses.fields(direct):
+        a, b = getattr(direct, f.name), getattr(min_lay, f.name)
+        if f.name == "cfg":
+            assert a == b
+        elif f.name in (
+            "n_slabs", "n_parts", "n_bins", "n_steps", "x_rows",
+            "num_vertices", "num_edges", "num_src", "n_out_blocks",
+        ):
+            assert a == b, f.name
+        else:
+            np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b), err_msg=f.name
+            )
+    x = rng.random(v).astype(np.float32)
+    y = np.asarray(sorted_spmv(min_lay, jnp.asarray(x), interpret=True,
+                               reduce="min"))
+    oracle = np.full(v, np.inf)
+    np.minimum.at(oracle, dst, x[src].astype(np.float64))
+    np.testing.assert_allclose(y, oracle, rtol=1e-4, atol=1e-4)
+    ysum = np.asarray(sorted_spmv(sum_lay, jnp.asarray(x), interpret=True))
+    osum = np.zeros(v, np.float64)
+    np.add.at(osum, dst, w.astype(np.float64) * x[src])
+    np.testing.assert_allclose(ysum, osum, rtol=1e-4, atol=1e-4)
+
+
 def test_default_config_scaling():
     from cugraph_tpu.prims.pallas.spmv2 import default_config_for
 
