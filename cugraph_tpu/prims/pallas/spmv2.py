@@ -214,6 +214,8 @@ def build_sorted_layout(
     is (layout, [w_arrays]); construct each sibling via
     dataclasses.replace(layout, w=wk)."""
     e = len(dsts)
+    if len(_FILL_STATS) > (1 << 16):  # diagnostics only; bound the growth
+        _FILL_STATS.clear()
     dsts = np.asarray(dsts, dtype=np.int64)
     srcs = np.asarray(srcs, dtype=np.int64)
     w = (

@@ -407,6 +407,30 @@ def test_multi_range_with_empty_range_and_mega_hub():
     np.testing.assert_allclose(y, oracle, rtol=1e-4, atol=1e-4)
 
 
+def test_spmm_slab_chunked_streams(monkeypatch):
+    """At slab_rows 4096 the multi-stream SpMM must split the slab Benes
+    into 2-stream calls (k=4 at that block size overflows the VMEM limit
+    with register spills on real hardware); the chunked path must match
+    the oracle."""
+    from cugraph_tpu.prims.pallas.spmv2 import (
+        build_sorted_layout_auto,
+        sorted_spmm,
+    )
+
+    monkeypatch.setenv("CUGRAPH_TPU_CACHE_DIR", "")
+    rng = np.random.default_rng(11)
+    v, e, f = 1200, 5000, 16
+    src, dst, w = _random_graph(rng, v, e, hubby=True)
+    cfg = dataclasses.replace(TINY, slab_rows=4096, chunk_rows=16)
+    lay = build_sorted_layout_auto(dst, src, w, v, cfg)
+    assert lay.cfg.slab_rows == 4096  # k=4 > kc=2 -> chunked slab calls
+    feats = rng.random((v, f)).astype(np.float32)
+    out = np.asarray(sorted_spmm(lay, jnp.asarray(feats), interpret=True))
+    oracle = np.zeros((v, f), np.float64)
+    np.add.at(oracle, dst, w[:, None].astype(np.float64) * feats[src])
+    np.testing.assert_allclose(out, oracle, rtol=2e-2, atol=2e-2)
+
+
 def test_weight_variants_shared_build(tmp_path, monkeypatch):
     """One host pass emits sibling layouts differing only in the w slot
     array (routing depends on edge positions only): the min sibling must
