@@ -115,7 +115,8 @@ def build_device_layouts(
     cfg: Optional[Spmv2Config] = None,
     variant: str = "sum",
     direction: str = "in",
-) -> StackedLayouts:
+    extra_variants: Optional[list] = None,
+):
     """Host-side: one layout per ADDRESSABLE device over its local edge
     blocks, padded to (globally agreed) common shapes and assembled into
     (R, C, ...) sharded arrays.
@@ -126,40 +127,70 @@ def build_device_layouts(
     direction "in" (pull: x = column span (R*vp), y = C dst blocks) or
     "out" (push-transpose for HITS: x = the C gathered dst ranges (C*vp),
     y = column-span (R*vp) partials merged with psum_scatter over "row";
-    see mg_prims.per_v_outgoing_sorted)."""
+    see mg_prims.per_v_outgoing_sorted).
+
+    extra_variants: optional [(use_weights, variant), ...] — sibling
+    StackedLayouts built from the SAME per-device host pass (the sorted
+    layout's routing depends only on edge positions; siblings differ only
+    in the w slot array). Returns [main, *siblings] when given."""
     r, c, vp = mgg.rows, mgg.cols, mgg.vp
     cfg = cfg or default_config_for(c * vp if direction == "in" else r * vp)
-    pad = float(np.inf) if variant == "min" else 0.0
 
+    def _wts_pad(uw, va, w_flat, n_e):
+        ww = w_flat if uw else None
+        pad = 0.0
+        if va == "min":
+            pad = float(np.inf)
+            if ww is None:
+                ww = np.zeros(n_e, np.float32)  # x + 0 under min
+        return ww, pad
+
+    n_sib = len(extra_variants or ())
     lays = []
+    sib_w = [[] for _ in range(n_sib)]  # per extra variant, per device
     devs = []
-    for ij, dev, s5, d5, w5 in _local_shard_blocks(mgg, use_weights):
+    any_weights = use_weights or any(
+        uw for uw, _ in (extra_variants or ())
+    )
+    for ij, dev, s5, d5, w5 in _local_shard_blocks(mgg, any_weights):
         s = s5.reshape(c, -1)  # (C, R*g_pad)
         d = d5.reshape(c, -1)
         keep = d < vp
         blk = np.broadcast_to(np.arange(c)[:, None], d.shape)
         dst_flat = (blk * vp + d)[keep].astype(np.int64)
         src_flat = s[keep].astype(np.int64)
-        ww = None if w5 is None else w5.reshape(c, -1)[keep]
-        if variant == "min" and ww is None:
-            ww = np.zeros(len(src_flat), np.float32)  # x + 0 under min
+        w_flat = None if w5 is None else w5.reshape(c, -1)[keep]
+        n_e = len(src_flat)
+        ww, pad = _wts_pad(use_weights, variant, w_flat, n_e)
+        wv = (
+            [
+                _wts_pad(uw, va, w_flat, n_e)
+                for uw, va in extra_variants
+            ]
+            if extra_variants is not None
+            else None
+        )
         devs.append((ij, dev))
         if direction == "out":
             # push-transpose: reduce BY SRC over the column span; the
             # "x table" side indexes the device's C dst ranges
-            lays.append(
-                build_sorted_layout_auto(
-                    src_flat, dst_flat, ww, r * vp, cfg,
-                    pad_weight=pad, num_src_vertices=c * vp,
-                )
+            out = build_sorted_layout_auto(
+                src_flat, dst_flat, ww, r * vp, cfg,
+                pad_weight=pad, num_src_vertices=c * vp,
+                weight_variants=wv,
             )
         else:
-            lays.append(
-                build_sorted_layout_auto(
-                    dst_flat, src_flat, ww, c * vp, cfg,
-                    pad_weight=pad, num_src_vertices=r * vp,
-                )
+            out = build_sorted_layout_auto(
+                dst_flat, src_flat, ww, c * vp, cfg,
+                pad_weight=pad, num_src_vertices=r * vp,
+                weight_variants=wv,
             )
+        if wv is not None:
+            lays.append(out[0])
+            for k in range(n_sib):
+                sib_w[k].append(np.asarray(out[1 + k].w))
+        else:
+            lays.append(out)
 
     SR, PR, BR, CH = cfg.slab_rows, cfg.part_rows, cfg.bin_rows, cfg.chunk_rows
     n_bins = lays[0].n_bins
@@ -272,15 +303,17 @@ def build_device_layouts(
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     shard = NamedSharding(mesh, P("row", "col"))
-    arrays = {}
-    for name, vals in padded.items():
+
+    def _stack(vals):
         shards = [
             jax.device_put(v[None, None], dev)
             for v, (_ij, dev) in zip(vals, devs)
         ]
-        arrays[name] = jax.make_array_from_single_device_arrays(
+        return jax.make_array_from_single_device_arrays(
             (r, c) + vals[0].shape, shard, shards
         )
+
+    arrays = {name: _stack(vals) for name, vals in padded.items()}
     statics = dict(
         cfg=cfg,
         n_slabs=slot_max // SR,
@@ -293,7 +326,18 @@ def build_device_layouts(
         num_src=(r * vp) if direction == "in" else (c * vp),
         n_out_blocks=out_max,
     )
-    return StackedLayouts(arrays=arrays, statics=statics)
+    main = StackedLayouts(arrays=arrays, statics=statics)
+    if extra_variants is None:
+        return main
+    sibs = []
+    for k in range(n_sib):
+        # siblings share every routing array; only the w slot stream
+        # differs (padding fill is never read by a real part — padded
+        # slabs are unreferenced and trash parts mask to the identity)
+        arr_k = dict(arrays)
+        arr_k["w"] = _stack([_pad_to(wv, slot_max) for wv in sib_w[k]])
+        sibs.append(StackedLayouts(arrays=arr_k, statics=statics))
+    return [main] + sibs
 
 
 def layout_args(stacked: StackedLayouts):

@@ -557,6 +557,44 @@ def test_mg_pagerank_sorted_engine(mesh):
     )
 
 
+def test_mg_layouts_extra_variants_shared_pass(mesh):
+    """extra_variants builds sibling StackedLayouts (sum + min) from one
+    per-device host pass; every array must equal a direct per-variant
+    build's (siblings share routing, differ only in w)."""
+    import cugraph_tpu as cg
+    from cugraph_tpu.dist.mg_graph import distribute_graph
+    from cugraph_tpu.dist.mg_sorted import build_device_layouts
+    from cugraph_tpu.prims.pallas.spmv2 import TINY
+
+    rng = np.random.default_rng(9)
+    v, e = 180, 1200
+    src = rng.integers(0, v, e)
+    dst = rng.integers(0, v, e)
+    w = rng.random(e).astype(np.float32)
+    g = cg.from_edgelist(src, dst, w, num_vertices=v)
+    mgg = distribute_graph(mesh, g)
+    joint_sum, joint_min = build_device_layouts(
+        mesh, mgg, cfg=TINY, extra_variants=[(False, "min")]
+    )
+    direct_min = build_device_layouts(
+        mesh, mgg, cfg=TINY, use_weights=False, variant="min"
+    )
+    for name in joint_min.arrays:
+        np.testing.assert_array_equal(
+            np.asarray(joint_min.arrays[name]),
+            np.asarray(direct_min.arrays[name]),
+            err_msg=name,
+        )
+    assert joint_min.statics == direct_min.statics
+    direct_sum = build_device_layouts(mesh, mgg, cfg=TINY)
+    for name in joint_sum.arrays:
+        np.testing.assert_array_equal(
+            np.asarray(joint_sum.arrays[name]),
+            np.asarray(direct_sum.arrays[name]),
+            err_msg=name,
+        )
+
+
 def test_mg_katz_eigenvector_sorted_engine(mesh, karate_sg, karate_mg):
     """Katz + eigenvector on the per-device sorted pipeline match the
     XLA-reduce results."""
