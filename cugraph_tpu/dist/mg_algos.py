@@ -559,16 +559,50 @@ def _mg_sssp_sorted(
 # ---------------------------------------------------------------------------
 
 
-def mg_wcc(mesh: Mesh, mgg: MGGraph) -> jax.Array:
+def mg_wcc(
+    mesh: Mesh,
+    mgg: MGGraph,
+    sorted_layouts=None,
+    sorted_interpret: bool = False,
+) -> jax.Array:
+    """Weakly connected components by min-label propagation (same loop as
+    algos/components.py; ref weakly_connected_components_impl.cuh:516's
+    label frontier).
+
+    sorted_layouts: (in_stacked, out_stacked) pair from
+    mg_sorted.build_device_layouts(variant="min", use_weights=False,
+    direction="in"/"out") — both propagation directions ride the
+    per-device min-plus Benes pipeline (labels are vertex ids riding f32
+    exactly; requires num_vertices <= 2^24, else the pair is ignored)."""
+    if sorted_layouts is not None and mgg.num_vertices > (1 << 24):
+        sorted_layouts = None
+    if sorted_layouts is not None:
+        st_in, st_out = sorted_layouts
+        ain, sin_, nin = _sorted_args(st_in)
+        aout, sout, nout = _sorted_args(st_out)
+    else:
+        st_in = st_out = None
+        ain = aout = ()
+        sin_ = sout = ()
+        nin = nout = 0
+
     @jax.jit
     def run_jit(*args):
         @partial(
             shard_map,
             mesh=mesh,
-            in_specs=tuple([BLOCK] * len(args)),
+            in_specs=tuple([BLOCK] * (len(args) - nin - nout))
+            + sin_
+            + sout,
             out_specs=VERT,
+            check_vma=not (nin or nout),
         )
         def run(*gargs):
+            lay_in = lay_out = None
+            if nout:
+                lay_out, gargs = _sorted_local(st_out, nout, gargs)
+            if nin:
+                lay_in, gargs = _sorted_local(st_in, nin, gargs)
             srcs, dsts, w, _ = _split_args(gargs, mgg.weighted)
             srcs, dsts, w = _edge_args(mgg, srcs, dsts, w)
             gid, vmask = _local_ids(mgg)
@@ -586,15 +620,30 @@ def mg_wcc(mesh: Mesh, mgg: MGGraph) -> jax.Array:
 
             def body(state):
                 labels, _ = state
-                down = mg_prims.per_v_transform_reduce_incoming_e(
-                    srcs, dsts, None, mgg.vp, push_op,
-                    reduce_op=MINIMUM, src_values=labels,
-                )
-                up = mg_prims.per_v_transform_reduce_outgoing_e(
-                    srcs, dsts, None, mgg.vp, pull_op,
-                    reduce_op=MINIMUM, dst_values=labels,
-                )
-                new = jnp.minimum(labels, jnp.minimum(down, up))
+                if lay_in is not None:
+                    lf = labels.astype(jnp.float32)
+                    down = mg_prims.per_v_incoming_sorted_min(
+                        lay_in, lf, mgg.vp, interpret=sorted_interpret
+                    )
+                    up = mg_prims.per_v_outgoing_sorted_min(
+                        lay_out, lf, mgg.vp, interpret=sorted_interpret
+                    )
+                    cand = jnp.minimum(down, up)  # +inf if isolated
+                    new = jnp.where(
+                        jnp.isfinite(cand),
+                        jnp.minimum(labels, cand.astype(jnp.int32)),
+                        labels,
+                    )
+                else:
+                    down = mg_prims.per_v_transform_reduce_incoming_e(
+                        srcs, dsts, None, mgg.vp, push_op,
+                        reduce_op=MINIMUM, src_values=labels,
+                    )
+                    up = mg_prims.per_v_transform_reduce_outgoing_e(
+                        srcs, dsts, None, mgg.vp, pull_op,
+                        reduce_op=MINIMUM, dst_values=labels,
+                    )
+                    new = jnp.minimum(labels, jnp.minimum(down, up))
                 changed = mg_prims.transform_reduce_v(
                     (new != labels).astype(jnp.int32)
                 )
@@ -605,7 +654,7 @@ def mg_wcc(mesh: Mesh, mgg: MGGraph) -> jax.Array:
 
         return run(*args)
 
-    return run_jit(*_graph_args(mgg))
+    return run_jit(*_graph_args(mgg), *ain, *aout)
 
 
 # ---------------------------------------------------------------------------
@@ -859,25 +908,65 @@ def mg_hits(
 
 
 def mg_core_number(
-    mesh: Mesh, mgg: MGGraph, degree_type: str = "incoming_outgoing"
+    mesh: Mesh,
+    mgg: MGGraph,
+    degree_type: str = "incoming_outgoing",
+    sorted_layouts=None,
+    sorted_interpret: bool = False,
 ) -> jax.Array:
+    """sorted_layouts: (in_stacked, out_stacked) pair from
+    mg_sorted.build_device_layouts(use_weights=False, direction="in"/
+    "out") — unweighted SUM layouts (w=1 per edge), so the residual
+    degree of the peeling loop is one sorted sweep over the 0/1 alive
+    mask per direction instead of the XLA segment reduce (exact while
+    degrees < 2^24 ride f32)."""
     assert degree_type in ("incoming", "outgoing", "incoming_outgoing")
+    if sorted_layouts is not None:
+        st_in, st_out = sorted_layouts
+        ain, sin_, nin = _sorted_args(st_in)
+        aout, sout, nout = _sorted_args(st_out)
+    else:
+        st_in = st_out = None
+        ain = aout = ()
+        sin_ = sout = ()
+        nin = nout = 0
 
     @partial(jax.jit, static_argnames=("degree_type",))
     def run_jit(degree_type, *args):
         @partial(
             shard_map,
             mesh=mesh,
-            in_specs=tuple([BLOCK] * len(args)),
+            in_specs=tuple([BLOCK] * (len(args) - nin - nout))
+            + sin_
+            + sout,
             out_specs=VERT,
+            check_vma=not (nin or nout),
         )
         def run(*gargs):
+            lay_in = lay_out = None
+            if nout:
+                lay_out, gargs = _sorted_local(st_out, nout, gargs)
+            if nin:
+                lay_in, gargs = _sorted_local(st_in, nin, gargs)
             srcs, dsts, w, _ = _split_args(gargs, mgg.weighted)
             srcs, dsts, w = _edge_args(mgg, srcs, dsts, w)
             gid, vmask = _local_ids(mgg)
 
             def residual_degree(alive):
                 out = _pvary(jnp.zeros(mgg.vp, jnp.int32))
+                if lay_in is not None:
+                    af = alive.astype(jnp.float32)
+                    if degree_type in ("outgoing", "incoming_outgoing"):
+                        d_out = mg_prims.per_v_outgoing_sorted(
+                            lay_out, af, mgg.vp, interpret=sorted_interpret
+                        )
+                        out = out + jnp.round(d_out).astype(jnp.int32)
+                    if degree_type in ("incoming", "incoming_outgoing"):
+                        d_in = mg_prims.per_v_incoming_sorted(
+                            lay_in, af, mgg.vp, interpret=sorted_interpret
+                        )
+                        out = out + jnp.round(d_in).astype(jnp.int32)
+                    return out
                 if degree_type in ("outgoing", "incoming_outgoing"):
                     out = out + mg_prims.per_v_transform_reduce_outgoing_e(
                         srcs, dsts, None, mgg.vp,
@@ -927,7 +1016,7 @@ def mg_core_number(
 
         return run(*args)
 
-    return run_jit(degree_type, *_graph_args(mgg))
+    return run_jit(degree_type, *_graph_args(mgg), *ain, *aout)
 
 
 # ---------------------------------------------------------------------------

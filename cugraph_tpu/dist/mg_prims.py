@@ -653,6 +653,60 @@ def per_v_incoming_sorted_min(
     return _merge_dst_partials(partials, MINIMUM)
 
 
+def per_v_outgoing_sorted_min(
+    layout_local, msg, vp: int, interpret: bool = False
+):
+    """Min-plus push-reduce on transposed per-device layouts
+    (build_device_layouts(direction="out", variant="min")):
+    y[src] = min over local out-edges of (x[dst] + w), +inf where no
+    out-edge exists. The (R*vp,) column-span partials merge with pmin
+    over "row" + slice (no pmin_scatter collective exists). Serves the
+    mg_wcc "up" sweep (min over out-neighbor labels, w=0)."""
+    from ..prims.pallas.spmv2 import _sorted_spmv_jit
+
+    x_blocks = gather_dst_values(msg)  # (C, vp)
+    y = _sorted_spmv_jit(
+        layout_local, x_blocks.reshape(-1), interpret, reduce="min"
+    )
+    merged = jax.lax.pmin(y, ROW)
+    i = jax.lax.axis_index(ROW)
+    return jax.lax.dynamic_slice_in_dim(merged, i * vp, vp, axis=0)
+
+
+def frontier_push_by_dst_sorted(
+    layout_local,
+    frontier_local: jax.Array,
+    values_local: jax.Array,
+    vp: int,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Sorted-engine fast path of frontier_push_by_dst for the common
+    contract keep = "src in frontier", payload = f32 src values reduced
+    by MIN (BFS pred = min frontier id with the unweighted min layout,
+    w=0; SSSP relax = min(dist[src]+w) with the weighted min layout).
+
+    x[src] = value if src in frontier else +inf, one min-plus sweep over
+    the per-device blocks; touched = the reduce found ANY frontier
+    in-edge (y finite). Multi-Gelem/s vs the XLA segment path's ~0.09.
+    ref: extract_transform_v_frontier_e.cuh / the by-dst shuffle of
+    transform_reduce_v_frontier_outgoing_e_by_dst.cuh — here the frontier
+    mask is folded into the value stream, so no extract/shuffle exists.
+
+    Returns (touched_local (vp,) bool, reduced_local (vp,) f32)."""
+    from ..prims.pallas.spmv2 import _sorted_spmv_jit
+
+    x = jnp.where(
+        frontier_local,
+        values_local.astype(jnp.float32),
+        jnp.float32(jnp.inf),
+    )
+    x_span = gather_src_values(x)  # (R*vp,)
+    y = _sorted_spmv_jit(layout_local, x_span, interpret, reduce="min")
+    partials = y.reshape(-1, vp)  # (C, vp)
+    reduced = _merge_dst_partials(partials, MINIMUM)
+    return jnp.isfinite(reduced), reduced
+
+
 def per_v_outgoing_sorted(layout_local, msg, vp: int, interpret: bool = False):
     """Push-reduce (sum) on the transposed per-device layouts
     (build_device_layouts direction="out"): y[src] += w * x[dst] over

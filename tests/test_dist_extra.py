@@ -887,3 +887,165 @@ def test_mg_louvain_hypersparse_cluster_state(mesh):
         mesh, mgg, cluster_state="hypersparse"
     )
     assert abs(q_d - q_h) < 1e-6
+
+
+def test_mg_wcc_sorted_engine(mesh):
+    """mg_wcc on (pull, push-transposed) per-device min-plus layouts
+    matches the XLA label-propagation path and the SG oracle (VERDICT r3
+    #4: WCC's min-label propagation is exactly the min-plus layout mg_bfs
+    uses; ref weakly_connected_components_impl.cuh:516)."""
+    import cugraph_tpu as cg
+    from cugraph_tpu.dist import mg_algos
+    from cugraph_tpu.dist.mg_graph import (
+        distribute_graph,
+        unshard_vertex_values,
+    )
+    from cugraph_tpu.dist.mg_sorted import build_device_layouts
+    from cugraph_tpu.prims.pallas.spmv2 import TINY
+
+    rng = np.random.default_rng(31)
+    # two islands + isolated vertices: several distinct components
+    v = 220
+    s1 = rng.integers(0, 90, 700)
+    d1 = rng.integers(0, 90, 700)
+    s2 = rng.integers(100, 200, 700)
+    d2 = rng.integers(100, 200, 700)
+    src = np.concatenate([s1, s2])
+    dst = np.concatenate([d1, d2])
+    g = cg.from_edgelist(src, dst, num_vertices=v)
+    mgg = distribute_graph(mesh, g)
+
+    st_in = build_device_layouts(
+        mesh, mgg, cfg=TINY, variant="min", use_weights=False,
+        direction="in",
+    )
+    st_out = build_device_layouts(
+        mesh, mgg, cfg=TINY, variant="min", use_weights=False,
+        direction="out",
+    )
+    lab_s = unshard_vertex_values(
+        mgg,
+        mg_algos.mg_wcc(
+            mesh, mgg, sorted_layouts=(st_in, st_out),
+            sorted_interpret=True,
+        ),
+    )
+    lab_x = unshard_vertex_values(mgg, mg_algos.mg_wcc(mesh, mgg))
+    np.testing.assert_array_equal(lab_s, lab_x)
+    lab_sg = np.asarray(cg.weakly_connected_components(g))
+    np.testing.assert_array_equal(lab_s, lab_sg)
+
+
+def test_mg_core_number_sorted_engine(mesh, karate_sg, karate_mg):
+    """mg_core_number's residual-degree sweeps on unweighted SUM layouts
+    (w=1 per edge) match the XLA segment path for every degree_type
+    (VERDICT r3 #4)."""
+    from cugraph_tpu.dist import mg_algos
+    from cugraph_tpu.dist.mg_graph import unshard_vertex_values
+    from cugraph_tpu.dist.mg_sorted import build_device_layouts
+    from cugraph_tpu.prims.pallas.spmv2 import TINY
+
+    st_in = build_device_layouts(
+        mesh, karate_mg, cfg=TINY, use_weights=False, direction="in"
+    )
+    st_out = build_device_layouts(
+        mesh, karate_mg, cfg=TINY, use_weights=False, direction="out"
+    )
+    for dt in ("incoming", "outgoing", "incoming_outgoing"):
+        c_s = unshard_vertex_values(
+            karate_mg,
+            mg_algos.mg_core_number(
+                mesh, karate_mg, degree_type=dt,
+                sorted_layouts=(st_in, st_out), sorted_interpret=True,
+            ),
+        )
+        c_x = unshard_vertex_values(
+            karate_mg, mg_algos.mg_core_number(mesh, karate_mg, degree_type=dt)
+        )
+        np.testing.assert_array_equal(c_s, c_x)
+
+
+def test_frontier_push_by_dst_sorted_prim(mesh):
+    """frontier_push_by_dst_sorted == the XLA frontier_push_by_dst for
+    the (keep = src in frontier, payload = f(src), MIN) contract, on all
+    mesh shapes (VERDICT r3 #4: the MG frontier-push prim on the sorted
+    engine)."""
+    from functools import partial
+
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    import cugraph_tpu as cg
+    from cugraph_tpu.dist import mg_algos, mg_prims
+    from cugraph_tpu.dist.mg_graph import (
+        distribute_graph,
+        shard_vertex_values,
+        unshard_vertex_values,
+    )
+    from cugraph_tpu.dist.mg_sorted import build_device_layouts
+    from cugraph_tpu.prims.pallas.spmv2 import TINY
+    from cugraph_tpu.prims.reduce_ops import MINIMUM
+
+    rng = np.random.default_rng(41)
+    v, e = 200, 1400
+    src = rng.integers(0, v, e)
+    dst = rng.integers(0, v, e)
+    w = rng.integers(1, 5, e).astype(np.float32)
+    g = cg.from_edgelist(src, dst, w, num_vertices=v)
+    mgg = distribute_graph(mesh, g)
+    st_min = build_device_layouts(
+        mesh, mgg, cfg=TINY, variant="min", use_weights=True
+    )
+    frontier = rng.random(v) < 0.3
+    vals = rng.random(v).astype(np.float32) * 10
+    f_sh = shard_vertex_values(mesh, mgg, frontier)
+    v_sh = shard_vertex_values(mesh, mgg, vals.astype(np.float32))
+    lay_args, lay_specs, n_lay = mg_algos._sorted_args(st_min)
+
+    VERT = mg_algos.VERT
+    BLOCK = mg_algos.BLOCK
+
+    @jax.jit
+    def run(f, x, *args):
+        @partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(VERT, VERT)
+            + tuple([BLOCK] * (len(args) - n_lay))
+            + lay_specs,
+            out_specs=(VERT, VERT, VERT, VERT),
+            check_vma=False,
+        )
+        def body(f_l, x_l, *gargs):
+            lay, gargs = mg_algos._sorted_local(st_min, n_lay, gargs)
+            srcs, dsts, ww, _ = mg_algos._split_args(gargs, mgg.weighted)
+            srcs, dsts, ww = mg_algos._edge_args(mgg, srcs, dsts, ww)
+            fl, xl = f_l[0, 0], x_l[0, 0]
+            t_s, r_s = mg_prims.frontier_push_by_dst_sorted(
+                lay, fl, xl, mgg.vp, interpret=True
+            )
+
+            def relax_op(s, d, sv, dv, we):
+                return jnp.ones_like(sv, bool), sv + we
+
+            t_x, r_x = mg_prims.frontier_push_by_dst(
+                srcs, dsts, ww, mgg.vp, fl, relax_op,
+                reduce_op=MINIMUM, src_values=xl,
+            )
+            return (
+                mg_algos._wrap(t_s),
+                mg_algos._wrap(r_s),
+                mg_algos._wrap(t_x),
+                mg_algos._wrap(r_x),
+            )
+
+        return body(f, x, *args)
+
+    t_s, r_s, t_x, r_x = run(f_sh, v_sh, *mg_algos._graph_args(mgg), *lay_args)
+    t_s = unshard_vertex_values(mgg, t_s)
+    t_x = unshard_vertex_values(mgg, t_x)
+    r_s = unshard_vertex_values(mgg, r_s)
+    r_x = unshard_vertex_values(mgg, r_x)
+    np.testing.assert_array_equal(t_s, t_x)
+    np.testing.assert_allclose(r_s[t_s], r_x[t_x], rtol=1e-6)
