@@ -1049,3 +1049,63 @@ def test_frontier_push_by_dst_sorted_prim(mesh):
     r_x = unshard_vertex_values(mgg, r_x)
     np.testing.assert_array_equal(t_s, t_x)
     np.testing.assert_allclose(r_s[t_s], r_x[t_x], rtol=1e-6)
+
+
+def test_no_whole_mesh_host_pulls_in_mg_paths():
+    """No dist/ module pulls whole-mesh sharded MGGraph arrays to host
+    (np.asarray(mgg.*)) except mg_decompress_to_edgelist itself, whose
+    contract IS the host pull (VERDICT r3 #5 'done' criterion)."""
+    import ast
+    import os
+
+    import cugraph_tpu
+
+    ddir = os.path.join(os.path.dirname(cugraph_tpu.__file__), "dist")
+    for fname in sorted(os.listdir(ddir)):
+        if not fname.endswith(".py"):
+            continue
+        tree = ast.parse(open(os.path.join(ddir, fname)).read())
+        hits = [
+            node.lineno
+            for node in ast.walk(tree)
+            if isinstance(node, ast.Call)
+            and isinstance(node.func, ast.Attribute)
+            and node.func.attr == "asarray"
+            and node.args
+            and isinstance(node.args[0], ast.Attribute)
+            and isinstance(node.args[0].value, ast.Name)
+            and node.args[0].value.id == "mgg"
+        ]
+        if fname != "mg_community.py":
+            assert not hits, f"{fname}:{hits} pulls whole-mesh mgg arrays"
+        else:
+            # allowed only inside mg_decompress_to_edgelist's body
+            fn = next(
+                n
+                for n in tree.body
+                if isinstance(n, ast.FunctionDef)
+                and n.name == "mg_decompress_to_edgelist"
+            )
+            bad = [
+                ln for ln in hits if not (fn.lineno <= ln <= fn.end_lineno)
+            ]
+            assert not bad, f"mg_community.py:{bad} outside decompress"
+
+
+def test_mg_triangle_count_random_matches_sg(mesh):
+    """Device-resident distributed triangle count == SG on a random
+    symmetric graph (exercises multi-round batching and owner-sharded
+    count accumulation)."""
+    import cugraph_tpu as cg
+    from cugraph_tpu.dist import mg_similarity
+
+    rng = np.random.default_rng(51)
+    v, e = 150, 1800
+    src = rng.integers(0, v, e)
+    dst = rng.integers(0, v, e)
+    g = cg.from_edgelist(src, dst, num_vertices=v, symmetrize=True)
+    mgg = distribute_graph(mesh, g)
+    # small global batch forces many fori_loop rounds
+    tc = mg_similarity.mg_triangle_count(mesh, mgg, batch_size=256)
+    tc_sg = np.asarray(cg.triangle_count(g))
+    np.testing.assert_array_equal(tc, tc_sg)
