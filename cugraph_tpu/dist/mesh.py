@@ -57,8 +57,10 @@ def initialize_distributed(
     (jax.distributed.initialize semantics); a no-op if already initialized
     or running single-process.
     """
-    if jax.process_count() > 1:
-        return  # already initialized
+    # NOTE: do not probe jax.process_count() here — it initializes the
+    # (single-process) backend, after which distributed.initialize raises
+    if jax.distributed.is_initialized():
+        return
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,

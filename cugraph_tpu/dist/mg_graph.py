@@ -318,7 +318,7 @@ def distribute_edgelist_chunks(
     def _global_max(x: int) -> int:
         if jax.process_count() == 1:
             return x
-        from jax.experimental import multihost_utils  # pragma: no cover
+        from jax.experimental import multihost_utils
 
         return int(
             np.max(multihost_utils.process_allgather(jnp.asarray(x)))

@@ -99,7 +99,7 @@ def _allgather_max(vals: np.ndarray) -> np.ndarray:
 
     if jax.process_count() == 1:
         return vals
-    from jax.experimental import multihost_utils  # pragma: no cover
+    from jax.experimental import multihost_utils
 
     return np.max(
         np.asarray(multihost_utils.process_allgather(jnp.asarray(vals))),
