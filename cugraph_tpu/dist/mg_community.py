@@ -125,6 +125,8 @@ def _mg_louvain_one_level(
     max_sweeps: int,
     cluster_state: str = "auto",
     state_capacity: int = 0,
+    labels0_sharded=None,
+    constraint_sharded=None,
 ):
     """Distributed local-moving phase. Returns (labels (R,C,vp) sharded
     with GLOBAL cluster ids, total moves).
@@ -137,7 +139,14 @@ def _mg_louvain_one_level(
     ∝ vp, the reference's cuco kv-store scheme
     (per_v_transform_reduce_dst_key_aggregated_outgoing_e.cuh).
     "auto" picks hypersparse past 2^22 total vertex slots.
-    state_capacity: per-bucket shuffle capacity (0 = vp)."""
+    state_capacity: per-bucket shuffle capacity (0 = vp).
+
+    labels0_sharded: sharded (R,C,vp) initial assignment (default
+    singletons = global vertex ids). constraint_sharded: sharded (R,C,vp)
+    parent partition restricting moves to clusters whose root vertex
+    shares the mover's constraint community — the Leiden refinement phase
+    (ref leiden_impl.cuh refine step). The constraint lookup replicates a
+    (vtot,) community vector per sweep (same O(V) class as dense sigma)."""
     r, c, vp = mgg.rows, mgg.cols, mgg.vp
     span = r * vp
     vtot = r * c * vp
@@ -147,16 +156,34 @@ def _mg_louvain_one_level(
     # capacity floor: coarse dendrogram levels have tiny vp but still
     # route up to one aggregated entry per device per popular cluster
     cap = int(state_capacity) or max(vp, 8 * r * c, 256)
+    use_l0 = labels0_sharded is not None
+    use_con = constraint_sharded is not None
+    extra = []
+    if use_l0:
+        extra.append(labels0_sharded)
+    if use_con:
+        extra.append(constraint_sharded)
+    n_extra = len(extra)
 
     @partial(jax.jit, static_argnames=("max_sweeps",))
     def run_jit(res, max_sweeps, *args):
         @partial(
             shard_map,
             mesh=mesh,
-            in_specs=tuple([BLOCK] * len(args)),
+            in_specs=tuple([VERT] * n_extra)
+            + tuple([BLOCK] * (len(args) - n_extra)),
             out_specs=(VERT, P(), P()),
         )
         def run(*gargs):
+            vert_in = gargs[:n_extra]
+            gargs = gargs[n_extra:]
+            k_extra = 0
+            l0_l = con_l = None
+            if use_l0:
+                l0_l = vert_in[k_extra][0, 0]
+                k_extra += 1
+            if use_con:
+                con_l = vert_in[k_extra][0, 0]
             srcs, dsts, w, _ = _split_args(gargs, mgg.weighted)
             srcs, dsts, w = _edge_args(mgg, srcs, dsts, w)
             gid, vmask = _local_ids(mgg)
@@ -267,6 +294,20 @@ def _mg_louvain_one_level(
                 score = w_adj - res * kv * sig_c / m2
                 up = (it % 2) == 0
                 allowed = run_valid & (~own) & jnp.where(up, k4 > lv, k4 < lv)
+                if use_con:
+                    # Leiden refinement: candidate cluster ids are global
+                    # vertex ids, so constraint[k4] is the candidate's
+                    # parent community. Replicate the (vtot,) community
+                    # vector: colspan gather over "row" (global order
+                    # within the span), then "col" (spans concatenate in
+                    # global id order).
+                    con_span = mg_prims.gather_src_values(con_l)
+                    con_full = jax.lax.all_gather(
+                        con_span, "col", axis=0, tiled=True
+                    )
+                    c_k = jnp.take(con_full, jnp.minimum(k4, vtot - 1))
+                    c_v = jnp.take(con_span, s_safe)
+                    allowed = allowed & (c_k == c_v)
                 neg_inf = jnp.asarray(-jnp.inf, WEIGHT_DTYPE)
                 seg = jnp.where(run_valid, s4, span)
                 best = jax.ops.segment_max(
@@ -309,7 +350,7 @@ def _mg_louvain_one_level(
                 l2, m_pair, ov2, it2 = sweep((l1, m1, ov1, it1))
                 return l2, m_pair, total + m_pair, ov2, it2
 
-            labels0 = gid  # global singleton clusters
+            labels0 = l0_l if use_l0 else gid  # default: singletons
             labels, _, total, ovf, _ = jax.lax.while_loop(
                 pair_cond,
                 pair_body,
@@ -319,7 +360,10 @@ def _mg_louvain_one_level(
 
         return run(*args)
 
-    return run_jit(jnp.asarray(resolution, WEIGHT_DTYPE), max_sweeps, *_graph_args(mgg))
+    return run_jit(
+        jnp.asarray(resolution, WEIGHT_DTYPE), max_sweeps,
+        *extra, *_graph_args(mgg),
+    )
 
 
 def mg_coarsen_edge_chunks(mesh: Mesh, mgg: MGGraph, labels_sharded, old_to_new):
@@ -441,3 +485,85 @@ def mg_louvain(
         )
         level += 1
     return best_labels.astype(NP_VERTEX_DTYPE), float(best_q)
+
+
+def mg_leiden(
+    mesh: Mesh,
+    mgg: MGGraph,
+    max_level: int = 100,
+    resolution: float = 1.0,
+    threshold: float = 1e-7,
+    cluster_state: str = "auto",
+    state_capacity: int = 0,
+) -> Tuple[np.ndarray, float]:
+    """Distributed Leiden (Traag et al. 2019; ref leiden_impl.cuh — a
+    thin wrapper over the Louvain machinery there too). Same level
+    structure as the SG algos/community.leiden: (1) distributed local
+    moving produces partition P (seeded by the previous level's projected
+    communities), (2) a constrained re-move restarts from singletons and
+    moves vertices only within their P community (the refinement that
+    guarantees internally-connected communities), (3) the graph is
+    contracted on the REFINED partition while P seeds the next level.
+    All phases are the mesh Louvain sweeps (keyed shuffles / dense sigma
+    per cluster_state); only O(V) label vectors touch the host between
+    levels. Returns (labels (V,) numpy, modularity)."""
+    from .mg_graph import distribute_edgelist_chunks, shard_vertex_values
+
+    expects(mgg.is_symmetric, "leiden requires a symmetric graph")
+    cur = mgg
+    refc = np.arange(mgg.num_vertices, dtype=NP_VERTEX_DTYPE)  # orig -> cur
+    best_labels = refc.copy()
+    best_q = mg_modularity(
+        mesh, mgg, shard_vertex_values(mesh, mgg, refc), resolution
+    )
+    labels0_np = None
+    for level in range(max_level):
+        l0_sh = (
+            shard_vertex_values(mesh, cur, labels0_np)
+            if labels0_np is not None
+            else None
+        )
+        p_sh, moves, ovf = _mg_louvain_one_level(
+            mesh, cur, resolution, max_sweeps=64,
+            cluster_state=cluster_state, state_capacity=state_capacity,
+            labels0_sharded=l0_sh,
+        )
+        expects(
+            int(ovf) == 0,
+            "mg_leiden hypersparse shuffle overflow: raise state_capacity",
+        )
+        if int(moves) == 0 and level > 0:
+            break
+        r_sh, _, ovf2 = _mg_louvain_one_level(
+            mesh, cur, resolution, max_sweeps=32,
+            cluster_state=cluster_state, state_capacity=state_capacity,
+            constraint_sharded=p_sh,
+        )
+        expects(int(ovf2) == 0, "mg_leiden refinement shuffle overflow")
+        p_np = np.asarray(unshard_vertex_values(cur, p_sh))
+        r_np = np.asarray(unshard_vertex_values(cur, r_sh))
+        cand = p_np[refc]  # reported partition = move phase, flattened
+        q = mg_modularity(
+            mesh, mgg, shard_vertex_values(mesh, mgg, cand), resolution
+        )
+        if q <= best_q + threshold:
+            break
+        best_q, best_labels = q, cand
+        uniq = np.unique(r_np)
+        old_to_new = np.full(
+            cur.rows * cur.cols * cur.vp, -1, dtype=NP_VERTEX_DTYPE
+        )
+        old_to_new[uniq] = np.arange(len(uniq), dtype=NP_VERTEX_DTYPE)
+        chunks = mg_coarsen_edge_chunks(mesh, cur, r_sh, old_to_new)
+        new_cur = distribute_edgelist_chunks(
+            mesh, chunks, num_vertices=len(uniq), is_symmetric=True
+        )
+        refc = np.searchsorted(uniq, r_np).astype(NP_VERTEX_DTYPE)[refc]
+        # seed next level with P projected onto the refined clusters
+        _, labels0_np = np.unique(p_np[uniq], return_inverse=True)
+        labels0_np = labels0_np.astype(NP_VERTEX_DTYPE)
+        cur = new_cur
+        if cur.num_vertices <= 1:
+            break
+    _, out = np.unique(best_labels, return_inverse=True)
+    return out.astype(NP_VERTEX_DTYPE), float(best_q)
