@@ -2646,7 +2646,29 @@ def build_sorted_layout_auto(
     while heavy >= floor:
         attempts.append((14, heavy, False))
         heavy //= 2
-    for bnum, heavy, split in attempts:
+    # Rung memo: the succeeding ladder rung depends only on edge POSITIONS
+    # (weights never affect packing), so weight variants / out-direction
+    # rebuilds / cache-evicted re-builds skip the failed full passes —
+    # the measured scale-23 cost multiplier (docs/PERFORMANCE.md r4 stage
+    # profile). Keyed position-only; overridable via
+    # CUGRAPH_TPU_LADDER_START for fresh builds at known-dense scales.
+    rung_path = None
+    start = int(os.environ.get("CUGRAPH_TPU_LADDER_START", 0))
+    if cdir is not None:
+        poskey = _layout_cache_key(
+            dsts, srcs, None, num_vertices, cfg, 0.0, num_src_vertices
+        )
+        rung_path = os.path.join(cdir, f"spmv2_rung_{poskey}.json")
+        if not start:
+            try:
+                with open(rung_path) as f:
+                    start = int(f.read().strip())
+            except (OSError, ValueError):
+                pass
+    start = min(max(start, 0), len(attempts) - 1)
+    for ai, (bnum, heavy, split) in enumerate(attempts):
+        if ai < start:
+            continue
         try:
             out = build_sorted_layout(
                 dsts, srcs, weights, num_vertices,
@@ -2671,6 +2693,12 @@ def build_sorted_layout_auto(
             for p, lk in zip(cpaths, lays):
                 if p is not None:
                     save_sorted_layout(p, lk)
+            if rung_path is not None:
+                try:
+                    with open(rung_path, "w") as f:
+                        f.write(str(ai))
+                except OSError:
+                    pass
             return lays if weight_variants is not None else lays[0]
         except ValueError as exc:
             last = exc
