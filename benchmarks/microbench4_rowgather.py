@@ -11,6 +11,10 @@ and the full tile body with the one-hot matmul, on device-resident
 inputs with the slope method (see microbench3; eager/host-transfer
 timings are invalid on this runtime).
 
+SMEM note: scalar-prefetch args live in SMEM (1 MB cap) — per-tile
+src indices are streamed as (1, T) SMEM BLOCKS instead; only the
+tile->window map rides scalar prefetch.
+
 Run: PYTHONPATH=/root/.axon_site:/root/repo python benchmarks/microbench4_rowgather.py
 """
 import functools
@@ -36,29 +40,26 @@ def _vmem_params(limit=100 * 1024 * 1024):
 
 
 def gather_only_call(table, srcs):
-    """srcs: (N_TILES, T) i32 -> out (N_TILES*T//LANES? ) — write gathered
-    rows straight out (tests the pure gather+store loop)."""
+    """Pure gather+store loop; srcs streamed as (1, T) SMEM blocks."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     def kern(srcs_ref, x_ref, o_ref):
         t = pl.program_id(0)
-
-        def get(i):
-            return x_ref[pl.ds(srcs_ref[t, i], 1), :]
-
+        r = t % 8
         for i in range(T):
-            o_ref[pl.ds(i, 1), :] = get(i)
+            o_ref[pl.ds(i, 1), :] = x_ref[pl.ds(srcs_ref[r, i], 1), :]
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(N_TILES,),
-        in_specs=[pl.BlockSpec((TR, LANES), lambda i, *_: (0, 0))],
-        out_specs=pl.BlockSpec((T, LANES), lambda i, *_: (i, 0)),
-    )
     return pl.pallas_call(
         kern,
-        grid_spec=grid_spec,
+        grid=(N_TILES,),
+        in_specs=[
+            pl.BlockSpec(
+                (8, T), lambda i: (i // 8, 0), memory_space=pltpu.SMEM
+            ),
+            pl.BlockSpec((TR, LANES), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((T, LANES), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((N_TILES * T, LANES), jnp.float32),
         compiler_params=_vmem_params(),
     )(srcs, table)
@@ -72,14 +73,13 @@ def gather_matmul_call(table, srcs, dstl, winof):
 
     n_win = N_TILES // 4  # 4 tiles per window in this synthetic stream
 
-    def kern(srcs_ref, dstl_ref, winof_ref, x_ref, o_ref, acc_ref, g_ref):
+    def kern(winof_ref, srcs_ref, dstl_ref, x_ref, o_ref, acc_ref, g_ref):
         t = pl.program_id(0)
-        # stage rows through VMEM scratch (static store offsets) — holding
-        # T gathered rows live for a concatenate spills the register file
+        r = t % 8
         for i in range(T):
-            g_ref[pl.ds(i, 1), :] = x_ref[pl.ds(srcs_ref[t, i], 1), :]
+            g_ref[pl.ds(i, 1), :] = x_ref[pl.ds(srcs_ref[r, i], 1), :]
         scratch = g_ref[:]  # (T, 128)
-        dl = dstl_ref[t][None, :]  # (1, T) i32
+        dl = dstl_ref[pl.ds(r, 1), :]  # (1, T) i32
         iota = jax.lax.broadcasted_iota(jnp.int32, (W, T), 0)
         onehot = (iota == dl).astype(jnp.bfloat16)
         part = jnp.dot(
@@ -101,15 +101,17 @@ def gather_matmul_call(table, srcs, dstl, winof):
         def _():
             o_ref[:] = acc_ref[:]
 
-    from jax.experimental.pallas import tpu as pltpu
-
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=1,
         grid=(N_TILES,),
-        in_specs=[pl.BlockSpec((TR, LANES), lambda i, *_: (0, 0))],
-        out_specs=pl.BlockSpec(
-            (W, LANES), lambda i, _s, _d, wf: (wf[i], 0)
-        ),
+        in_specs=[
+            pl.BlockSpec(
+                (8, T), lambda i, *_: (i // 8, 0), memory_space=pltpu.SMEM
+            ),
+            pl.BlockSpec((8, T), lambda i, *_: (i // 8, 0)),
+            pl.BlockSpec((TR, LANES), lambda i, *_: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((W, LANES), lambda i, wf: (wf[i], 0)),
         scratch_shapes=[
             pltpu.VMEM((W, LANES), jnp.float32),
             pltpu.VMEM((T, LANES), jnp.float32),
@@ -120,7 +122,7 @@ def gather_matmul_call(table, srcs, dstl, winof):
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_win * W, LANES), jnp.float32),
         compiler_params=_vmem_params(),
-    )(srcs, dstl, winof, table)
+    )(winof, srcs, dstl, table)
 
 
 def slope_time(fn, *args, reps=3):

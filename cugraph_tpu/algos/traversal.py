@@ -84,8 +84,8 @@ def _sparse_bfs_level(
     return touched, pred_cand
 
 
-@partial(jax.jit, static_argnames=("depth_limit",))
-def _bfs_pallas_jit(g: Graph, src_mask, depth_limit: int, lay):
+@partial(jax.jit, static_argnames=("depth_limit", "sparse_caps"))
+def _bfs_pallas_jit(g: Graph, src_mask, depth_limit: int, lay, sparse_caps=None):
     """Direction-optimizing BFS on the sorted pipeline.
 
     Small levels (frontier out-degree <= cap_e) run a compacted sparse
@@ -109,12 +109,16 @@ def _bfs_pallas_jit(g: Graph, src_mask, depth_limit: int, lay):
     # compaction (~15-25 ms); its variable cost is the cap_e-sized
     # minors gather + reach scatter (~0.1 Gelem/s XLA ops, ~10 ms at
     # 2^19), so levels up to ~half a million frontier out-edges still
-    # beat a ~90 ms dense multi-range min-plus sweep. Env-tunable for
-    # benchmarking (read at TRACE time — new values need a new process).
+    # beat a ~90 ms dense multi-range min-plus sweep. sparse_caps =
+    # (cap_e, cap_v) overrides per call (static: retraces per pair —
+    # benchmarks/bfs_caps_sweep.py); env vars set the process default.
     import os
 
-    cap_e = int(os.environ.get("CUGRAPH_TPU_BFS_CAP_E", 1 << 19))
-    cap_v = min(v, int(os.environ.get("CUGRAPH_TPU_BFS_CAP_V", 1 << 17)))
+    if sparse_caps is not None:
+        cap_e, cap_v = int(sparse_caps[0]), min(v, int(sparse_caps[1]))
+    else:
+        cap_e = int(os.environ.get("CUGRAPH_TPU_BFS_CAP_E", 1 << 19))
+        cap_v = min(v, int(os.environ.get("CUGRAPH_TPU_BFS_CAP_V", 1 << 17)))
     # the sparse push only beats the dense sweep once the sweep itself is
     # expensive (multi-range graphs past ~4M vertices)
     use_sparse = v >= (1 << 22)
@@ -195,6 +199,7 @@ def bfs(
     sources,
     depth_limit: Optional[int] = None,
     direction_optimizing: bool = False,
+    sparse_caps: Optional[Tuple[int, int]] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Multi-source BFS. Returns (distances, predecessors); unreachable
     vertices get INVALID_DISTANCE / predecessor -1 (ref bfs_impl.cuh).
@@ -202,13 +207,20 @@ def bfs(
     direction_optimizing is accepted for API parity; the dense-mask push is
     already edge-complete per level so the pull switch is a no-op here (the
     reference's flag is unimplemented too, bfs_impl.cuh:206).
+
+    sparse_caps: optional (cap_e, cap_v) pair for the direction-optimizing
+    sparse-push thresholds (default: CUGRAPH_TPU_BFS_CAP_E/V env or
+    2^19 / 2^17; measured sweep in docs/PERFORMANCE.md).
     """
     del direction_optimizing
     src_mask = _as_source_mask(g, sources)
     limit = int(depth_limit) if depth_limit is not None else g.num_vertices
     lay = _min_layout(g)
     if lay is not None:
-        return _bfs_pallas_jit(g, src_mask, limit, lay)
+        return _bfs_pallas_jit(
+            g, src_mask, limit, lay,
+            None if sparse_caps is None else tuple(sparse_caps),
+        )
     return _bfs_jit(g, src_mask, limit)
 
 

@@ -177,13 +177,13 @@ def build_device_layouts(
             out = build_sorted_layout_auto(
                 src_flat, dst_flat, ww, r * vp, cfg,
                 pad_weight=pad, num_src_vertices=c * vp,
-                weight_variants=wv,
+                weight_variants=wv, allow_geometry_fallback=False,
             )
         else:
             out = build_sorted_layout_auto(
                 dst_flat, src_flat, ww, c * vp, cfg,
                 pad_weight=pad, num_src_vertices=r * vp,
-                weight_variants=wv,
+                weight_variants=wv, allow_geometry_fallback=False,
             )
         if wv is not None:
             lays.append(out[0])

@@ -56,18 +56,39 @@ def spmm_aggregate(
                 agg = agg / jnp.maximum(deg, 1)[:, None]
             return agg
 
-        # Large V on TPU: route through the sorted pipeline (multi-Gelem/s
-        # per feature column vs the near-scalar XLA gather/segment path)
-        from ..prims.pallas.spmv2 import sorted_layout_for, sorted_spmm
+        # Large V on TPU: the row-gather engine (feature ROWS move as
+        # units through VMEM-resident src-range tables + MXU one-hot
+        # window reduce — prims/pallas/spmm_row.py; ~5x the element-level
+        # multi-stream pipeline at F=128). CUGRAPH_TPU_SPMM_ENGINE=benes
+        # forces the old path (comparison/bench).
+        import os
 
-        lay = None
+        lay = rlay = None
         # layout build is host-side: only when the graph is concrete
         # (closed over / outside jit), not a traced argument
-        if g.num_edges >= 1 << 18 and not isinstance(
+        concrete = g.num_edges >= 1 << 18 and not isinstance(
             g.csc().majors, jax.core.Tracer
-        ):
+        )
+        engine = os.environ.get("CUGRAPH_TPU_SPMM_ENGINE", "row")
+        if concrete and engine == "row":
+            from ..prims.pallas.spmm_row import row_spmm_layout_for
+
+            rlay = row_spmm_layout_for(g, use_weights=use_weights)
+        if concrete and rlay is None:
+            from ..prims.pallas.spmv2 import sorted_layout_for
+
             lay = sorted_layout_for(g, use_weights=use_weights)
-        if lay is not None:
+        if rlay is not None:
+            from ..prims.pallas.spmm_row import row_spmm
+
+            agg = row_spmm(
+                rlay,
+                features.astype(jnp.float32),
+                precision="f32" if precision == "f32" else "bf16",
+            ).astype(features.dtype)
+        elif lay is not None:
+            from ..prims.pallas.spmv2 import sorted_spmm
+
             agg = sorted_spmm(
                 lay, features.astype(jnp.float32), precision=precision
             ).astype(features.dtype)

@@ -752,7 +752,11 @@ def build_sorted_layout(
                 c = int(gcount[gi])
                 load, l = heapq.heappop(heap)
                 if load + c > PR:
-                    raise ValueError("sorted part cannot be lane-balanced")
+                    raise ValueError(
+                        "sorted part cannot be lane-balanced: big group "
+                        f"c={c} load={load} PR={PR} n_big={len(big)} "
+                        f"n_grp={n_grp} elems={int(gcount.sum())}"
+                    )
                 grp_lane[gi] = l
                 grp_row0[gi] = load
                 heapq.heappush(heap, (load + c, l))
@@ -791,7 +795,12 @@ def build_sorted_layout(
             np.add.at(lane_load, lns[ok], gcount[placed])
             remaining = rs[~ok]
         if len(remaining):
-            raise ValueError("sorted part cannot be lane-balanced")
+            raise ValueError(
+                "sorted part cannot be lane-balanced: "
+                f"left={len(remaining)} max_left={int(gcount[remaining].max())} "
+                f"lane_load min/max={int(lane_load.min())}/{int(lane_load.max())} "
+                f"PR={PR} n_grp={n_grp} elems={int(gcount.sum())}"
+            )
         # per-element targets
         ggid = np.searchsorted(guniq, gkey)
         within = _group_ranks(gkey)  # rank within (dst, chunk) group
@@ -2602,6 +2611,7 @@ def build_sorted_layout_auto(
     pad_weight: float = 0.0,
     num_src_vertices: Optional[int] = None,
     weight_variants: Optional[list] = None,
+    allow_geometry_fallback: bool = True,
 ) -> SortedLayout:
     """build_sorted_layout with an auto-retry ladder: on round/balance
     overflow, halve the heavy-dst threshold (more simple parts). Built
@@ -2641,11 +2651,25 @@ def build_sorted_layout_auto(
     # fallback's lane balance needs headroom), then halve the heavy-dst
     # threshold at the relaxed budget — each failed attempt costs a full
     # host build pass, so the budget drops BEFORE the heavy sweep
-    attempts = [(15, cfg.heavy_dst, True), (14, cfg.heavy_dst, True)]
+    attempts = [
+        (15, cfg.heavy_dst, True, cfg),
+        (14, cfg.heavy_dst, True, cfg),
+    ]
     heavy = cfg.heavy_dst
     while heavy >= floor:
-        attempts.append((14, heavy, False))
+        attempts.append((14, heavy, False, cfg))
         heavy //= 2
+    # terminal rungs: the conservative round-2 geometry (slab 2048, bin
+    # 512, 4 layers) — the scale-23 default geometry (bin_rows 1024,
+    # LAYERS=2) can defeat the mode-0 lane balance at EVERY budget/heavy
+    # rung (measured round 4; round 2 shipped scale 23 on this geometry).
+    # Disabled for MG per-device builds (SPMD needs one cfg mesh-wide).
+    if allow_geometry_fallback and (
+        cfg.bin_rows != 512 or cfg.slab_rows != 2048
+    ) and cfg.part_rows == 2048:
+        g2 = dataclasses.replace(cfg, slab_rows=2048, bin_rows=512)
+        attempts.append((14, cfg.heavy_dst, True, g2))
+        attempts.append((14, floor, False, g2))
     # Rung memo: the succeeding ladder rung depends only on edge POSITIONS
     # (weights never affect packing), so weight variants / out-direction
     # rebuilds / cache-evicted re-builds skip the failed full passes —
@@ -2666,13 +2690,26 @@ def build_sorted_layout_auto(
             except (OSError, ValueError):
                 pass
     start = min(max(start, 0), len(attempts) - 1)
-    for ai, (bnum, heavy, split) in enumerate(attempts):
+
+    def _note_rung(ai):
+        if rung_path is not None:
+            try:
+                with open(rung_path, "w") as f:
+                    f.write(str(ai))
+            except OSError:
+                pass
+
+    for ai, (bnum, heavy, split, cfg_a) in enumerate(attempts):
         if ai < start:
             continue
+        # persist progress BEFORE the attempt: a crashed/killed build (or
+        # a failing rung) resumes here instead of re-burning the failed
+        # full passes (each is minutes at scale 23+)
+        _note_rung(ai)
         try:
             out = build_sorted_layout(
                 dsts, srcs, weights, num_vertices,
-                dataclasses.replace(cfg, heavy_dst=heavy),
+                dataclasses.replace(cfg_a, heavy_dst=heavy),
                 pad_weight=pad_weight,
                 num_src_vertices=num_src_vertices,
                 budget_num=bnum,
@@ -2693,12 +2730,7 @@ def build_sorted_layout_auto(
             for p, lk in zip(cpaths, lays):
                 if p is not None:
                     save_sorted_layout(p, lk)
-            if rung_path is not None:
-                try:
-                    with open(rung_path, "w") as f:
-                        f.write(str(ai))
-                except OSError:
-                    pass
+            _note_rung(ai)  # future rebuilds jump straight here
             return lays if weight_variants is not None else lays[0]
         except ValueError as exc:
             last = exc
