@@ -48,20 +48,6 @@ SEG_CAP = 1 << 15  # max tiles per pallas_call (scalar prefetch <= 128 KB
 #   of the 1 MB SMEM; a range splits into several calls past this)
 
 
-def _bucket(n: int) -> int:
-    """Smallest quarter-power-of-two step >= n (min 64): bounds distinct
-    grid shapes (compiles) at <= 25% dummy-tile padding."""
-    b = 64
-    while b < n:
-        b *= 2
-    if b == 64:
-        return b
-    for c in (5 * b // 8, 3 * b // 4, 7 * b // 8):
-        if n <= c:
-            return c
-    return b
-
-
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class RowSpmmLayout:
@@ -72,7 +58,7 @@ class RowSpmmLayout:
     first: jax.Array  # (n_tiles,) i32 1 = window's first tile in its range
     seg_tiles: Tuple[int, ...] = dataclasses.field(
         metadata=dict(static=True)
-    )  # padded tile count per SEGMENT (quarter-pow2 buckets, <= SEG_CAP)
+    )  # tile count per SEGMENT (quantized to 3 sizes, <= SEG_CAP)
     seg_range: Tuple[int, ...] = dataclasses.field(
         metadata=dict(static=True)
     )  # source range of each segment
@@ -134,22 +120,35 @@ def build_row_spmm_layout(
     # stay contiguous and only the tail carries dummies)
     real_tiles_r = np.zeros(n_ranges, dtype=np.int64)
     np.add.at(real_tiles_r, grange, ntiles_g)
+    # segments quantized to THREE sizes (SEG_CAP / SEG_CAP/8 / 512) so at
+    # most 3 distinct kernel shapes compile (each distinct grid is a
+    # minutes-long remote compile on this runtime); <= 511 dummy tiles
+    # per range
     seg_tiles: list = []
     seg_range: list = []
     padded_r = np.zeros(n_ranges, dtype=np.int64)
+    mid = max(SEG_CAP // 8, 512)
     for k in range(n_ranges):
         t = int(real_tiles_r[k])
         if t == 0:
             continue  # empty range: no segments at all
-        while t > SEG_CAP:
+        pk = 0
+        while t >= SEG_CAP:
             seg_tiles.append(SEG_CAP)
             seg_range.append(k)
             t -= SEG_CAP
-        seg_tiles.append(_bucket(t))
-        seg_range.append(k)
-        padded_r[k] = sum(
-            s for s, r_ in zip(seg_tiles, seg_range) if r_ == k
-        )
+            pk += SEG_CAP
+        while t >= mid:
+            seg_tiles.append(mid)
+            seg_range.append(k)
+            t -= mid
+            pk += mid
+        while t > 0:
+            seg_tiles.append(512)
+            seg_range.append(k)
+            t -= min(t, 512)
+            pk += 512
+        padded_r[k] = pk
     seg_off = np.zeros(n_ranges + 1, dtype=np.int64)
     np.cumsum(padded_r, out=seg_off[1:])
     n_tiles = int(seg_off[-1])
@@ -360,7 +359,7 @@ def _cached_build(d, s, wts, num_vertices):
         import hashlib
 
         h = hashlib.blake2b(digest_size=16)
-        h.update(b"rowspmm-v2")
+        h.update(b"rowspmm-v3")
         h.update(np.int64(num_vertices).tobytes())
         h.update(np.int64(RANGE_ROWS).tobytes())
         h.update(d.tobytes())

@@ -795,12 +795,25 @@ def build_sorted_layout(
             np.add.at(lane_load, lns[ok], gcount[placed])
             remaining = rs[~ok]
         if len(remaining):
-            raise ValueError(
-                "sorted part cannot be lane-balanced: "
-                f"left={len(remaining)} max_left={int(gcount[remaining].max())} "
-                f"lane_load min/max={int(lane_load.min())}/{int(lane_load.max())} "
-                f"PR={PR} n_grp={n_grp} elems={int(gcount.sum())}"
-            )
+            # exact tail pass: the vectorized delta rounds only place a
+            # PREFIX per lane per round, so on ~100%-full parts (hub
+            # parts pack dense; budgets never applied to them) a blocked
+            # big group can shadow small ones for all 128 rounds. Place
+            # the leftovers one-by-one, largest first, into the emptiest
+            # lane — this rescued every observed scale-23 mode-0 failure
+            # (92 groups <= 39 elems each; docs/PERFORMANCE.md round 4).
+            for gi in remaining[np.argsort(-gcount[remaining])]:
+                c = int(gcount[gi])
+                l = int(np.argmin(lane_load))
+                if lane_load[l] + c > PR:
+                    raise ValueError(
+                        "sorted part cannot be lane-balanced: tail group "
+                        f"c={c} min lane_load={int(lane_load[l])} PR={PR} "
+                        f"n_grp={n_grp} elems={int(gcount.sum())}"
+                    )
+                grp_lane[gi] = l
+                grp_row0[gi] = lane_load[l]
+                lane_load[l] += c
         # per-element targets
         ggid = np.searchsorted(guniq, gkey)
         within = _group_ranks(gkey)  # rank within (dst, chunk) group
