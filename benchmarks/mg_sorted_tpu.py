@@ -36,3 +36,34 @@ a = unshard_vertex_values(mgg, pr_s)
 b = unshard_vertex_values(mgg, pr_x)
 err = np.abs(a - b).max() / max(np.abs(b).max(), 1e-30)
 print(f"sorted {ts*1e3:.0f} ms vs xla {tx*1e3:.0f} ms (10 it) | max rel diff {err:.2e}", flush=True)
+
+# --- optional: WCC on the sorted engine (VERDICT r4 #4 on-chip timing) ---
+if "--wcc" in sys.argv:
+    t0 = time.perf_counter()
+    st_in = build_device_layouts(
+        mesh, mgg, variant="min", use_weights=False, direction="in"
+    )
+    st_out = build_device_layouts(
+        mesh, mgg, variant="min", use_weights=False, direction="out"
+    )
+    print(f"wcc layouts built: {time.perf_counter()-t0:.0f}s", flush=True)
+    lab_s = mg_algos.mg_wcc(mesh, mgg, sorted_layouts=(st_in, st_out))
+    jax.block_until_ready(lab_s)
+    t0 = time.perf_counter()
+    lab_s = mg_algos.mg_wcc(mesh, mgg, sorted_layouts=(st_in, st_out))
+    jax.block_until_ready(lab_s)
+    ts = time.perf_counter() - t0
+    lab_x = mg_algos.mg_wcc(mesh, mgg)
+    jax.block_until_ready(lab_x)
+    t0 = time.perf_counter()
+    lab_x = mg_algos.mg_wcc(mesh, mgg)
+    jax.block_until_ready(lab_x)
+    tx = time.perf_counter() - t0
+    same = np.array_equal(
+        unshard_vertex_values(mgg, lab_s), unshard_vertex_values(mgg, lab_x)
+    )
+    print(
+        f"wcc sorted {ts*1e3:.0f} ms vs xla {tx*1e3:.0f} ms "
+        f"({tx/max(ts,1e-9):.1f}x) | equal {same}",
+        flush=True,
+    )
