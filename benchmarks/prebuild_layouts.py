@@ -31,6 +31,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--scale", type=int, default=23)
     ap.add_argument("--edgefactor", type=int, default=16)
+    ap.add_argument(
+        "--row",
+        action="store_true",
+        help="also prebuild the row-SpMM layout (bench.py's spmm metric)",
+    )
     args = ap.parse_args()
 
     import bench  # repo-root: graph generation + .npz cache
@@ -45,6 +50,14 @@ def main():
     lays = sorted_layouts_prebuild(g, [(True, "sum"), (False, "min")])
     assert lays is not None
     print(f"layouts built+cached in {time.time()-t0:.0f}s", flush=True)
+
+    if args.row:
+        from cugraph_tpu.prims.pallas.spmm_row import row_spmm_layout_for
+
+        t0 = time.time()
+        rlay = row_spmm_layout_for(g, use_weights=False)
+        assert rlay is not None
+        print(f"row layout built+cached in {time.time()-t0:.0f}s", flush=True)
 
 
 if __name__ == "__main__":
