@@ -103,12 +103,33 @@ class TensorAttr:
 
 class PyGStore:
     """FeatureStore + GraphStore protocol over one PropertyGraph
-    (ref EXPERIMENTAL__CuGraphStore :165)."""
+    (ref EXPERIMENTAL__CuGraphStore :165).
 
-    def __init__(self, pg: Optional[PropertyGraph] = None):
+    backend_lib selects the tensor type get_tensor delivers: "jax"
+    (device arrays, default), "torch" (zero-copy via dlpack where
+    possible — what a torch_geometric loader consumes), or "numpy"."""
+
+    def __init__(
+        self, pg: Optional[PropertyGraph] = None, backend_lib: str = "jax"
+    ):
         self.pg = pg if pg is not None else PropertyGraph()
+        self.backend_lib = backend_lib
         self._tensor_attrs: Dict[Tuple[str, str], TensorAttr] = {}
         self._graph_cache = None
+
+    def _deliver(self, arr):
+        if self.backend_lib == "jax":
+            return arr
+        if self.backend_lib == "numpy":
+            return np.asarray(arr)
+        if self.backend_lib == "torch":
+            import torch
+
+            try:
+                return torch.utils.dlpack.from_dlpack(arr.__dlpack__())
+            except Exception:
+                return torch.from_numpy(np.asarray(arr))
+        raise ValueError(f"unknown backend_lib {self.backend_lib!r}")
 
     # ---- GraphStore side --------------------------------------------------
     def put_edge_index(self, edge_index, edge_attr) -> bool:
@@ -209,7 +230,7 @@ class PyGStore:
             if attr.is_set("dtype") and attr.dtype is not None
             else (named.dtype if named and named.dtype is not None else np.float32)
         )
-        return jnp.asarray(df[list(props)].to_numpy(dtype=dtype))
+        return self._deliver(jnp.asarray(df[list(props)].to_numpy(dtype=dtype)))
 
     def multi_get_tensor(self, attrs):
         return [self.get_tensor(a) for a in attrs]
@@ -260,8 +281,11 @@ class PyGStore:
         return row, col, g.to_external(nodes), np.asarray(res["hop"])
 
 
-def to_pyg(G) -> Tuple[PyGStore, PyGStore]:
+def to_pyg(G, backend_lib: str = "jax") -> Tuple[PyGStore, PyGStore]:
     """(feature_store, graph_store) pair for PyG remote-backend loaders —
-    the same object serves both protocols (ref EXPERIMENTAL__to_pyg :73)."""
-    store = PyGStore(G if isinstance(G, PropertyGraph) else None)
+    the same object serves both protocols (ref EXPERIMENTAL__to_pyg :73).
+    backend_lib="torch" delivers torch tensors from the feature side."""
+    store = PyGStore(
+        G if isinstance(G, PropertyGraph) else None, backend_lib=backend_lib
+    )
     return store, store
