@@ -146,13 +146,12 @@ def build_device_layouts(
         return ww, pad
 
     n_sib = len(extra_variants or ())
-    lays = []
-    sib_w = [[] for _ in range(n_sib)]  # per extra variant, per device
-    devs = []
     any_weights = use_weights or any(
         uw for uw, _ in (extra_variants or ())
     )
-    for ij, dev, s5, d5, w5 in _local_shard_blocks(mgg, any_weights):
+
+    def _build_one(item):
+        ij, dev, s5, d5, w5 = item
         s = s5.reshape(c, -1)  # (C, R*g_pad)
         d = d5.reshape(c, -1)
         keep = d < vp
@@ -170,7 +169,6 @@ def build_device_layouts(
             if extra_variants is not None
             else None
         )
-        devs.append((ij, dev))
         if direction == "out":
             # push-transpose: reduce BY SRC over the column span; the
             # "x table" side indexes the device's C dst ranges
@@ -185,7 +183,39 @@ def build_device_layouts(
                 pad_weight=pad, num_src_vertices=r * vp,
                 weight_variants=wv, allow_geometry_fallback=False,
             )
-        if wv is not None:
+        return (ij, dev), out
+
+    # Per-device builds run on a thread pool: the build is numpy + the
+    # C++ routing lib (GIL released in the hot parts), so wall time for a
+    # whole variant SET scales with host cores instead of device count.
+    # Pool kept small — ct_benes_route is internally multi-threaded too.
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
+    workers = max(1, min(4, os.cpu_count() or 1))
+    results = []
+    it = _local_shard_blocks(mgg, any_weights)
+    if workers > 1:
+        # chunked submission keeps at most `workers` devices' edge blocks
+        # materialized at once (the per-process ingest memory bound)
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            chunk = []
+            for item in it:
+                chunk.append(item)
+                if len(chunk) == workers:
+                    results.extend(pool.map(_build_one, chunk))
+                    chunk = []
+            if chunk:
+                results.extend(pool.map(_build_one, chunk))
+    else:
+        results = [_build_one(item) for item in it]
+
+    lays = []
+    sib_w = [[] for _ in range(n_sib)]  # per extra variant, per device
+    devs = []
+    for dev_key, out in results:
+        devs.append(dev_key)
+        if extra_variants is not None:
             lays.append(out[0])
             for k in range(n_sib):
                 sib_w[k].append(np.asarray(out[1 + k].w))

@@ -70,6 +70,7 @@ def spmm_aggregate(
             g.csc().majors, jax.core.Tracer
         )
         engine = os.environ.get("CUGRAPH_TPU_SPMM_ENGINE", "row")
+        row_prec = "f32" if precision == "f32" else "bf16"
         if concrete and engine == "row":
             from ..prims.pallas.spmm_row import row_spmm_layout_for
 
@@ -82,9 +83,7 @@ def spmm_aggregate(
             from ..prims.pallas.spmm_row import row_spmm
 
             agg = row_spmm(
-                rlay,
-                features.astype(jnp.float32),
-                precision="f32" if precision == "f32" else "bf16",
+                rlay, features.astype(jnp.float32), precision=row_prec
             ).astype(features.dtype)
         elif lay is not None:
             from ..prims.pallas.spmv2 import sorted_spmm

@@ -41,9 +41,19 @@ import jax.numpy as jnp
 import numpy as np
 
 LANES = 128
-T_SLOTS = 128  # edges per tile (unrolled gather loop length)
+T_SLOTS = 256  # edges per tile (unrolled gather loop length). Grid
+#   sequencing costs ~0.3 us/step on this runtime (measured: the 281K
+#   tiles of the T=128 scale-21 layout carried ~80 ms of overhead), so
+#   fewer, fatter tiles win as long as group padding stays small.
 W_WIN = 512  # dst ids per output window
-RANGE_ROWS = 1 << 16  # src rows per VMEM-resident table block (32 MB f32)
+RANGE_ROWS = 1 << 17  # src rows per VMEM-resident table block (64 MB f32;
+#   the block index only moves with the OUTER feature-chunk grid dim, so
+#   Mosaic keeps ONE buffer and 64 MB fits the 110 MB limit). Doubling
+#   from 2^16 HALVES n_ranges and with it the dominant window-flush
+#   traffic (~80 ms of the 227 ms pass at scale 21). bf16 tables would
+#   halve it again but Mosaic cannot lower single-row dynamic reads from
+#   (16,128)-tiled bf16 ("index in dim 0 must be a multiple of 8" —
+#   benchmarks/microbench6_bf16row.py).
 SEG_CAP = 1 << 15  # max tiles per pallas_call (scalar prefetch <= 128 KB
 #   of the 1 MB SMEM; a range splits into several calls past this)
 
@@ -224,23 +234,25 @@ def _range_call(
              x_ref, prev_ref, o_ref, g_ref, acc_ref):
         t = pl.program_id(1)
         r = t % 8
+        # pure row moves: the slot weight is folded into the one-hot
+        # matrix below, so gathered rows go to scratch untouched (and the
+        # bf16 table path never upconverts)
         for i in range(T_SLOTS):
-            g_ref[pl.ds(i, 1), :] = (
-                x_ref[pl.ds(srcs_ref[r, i], 1), :] * wts_ref[r, i]
-            )
+            g_ref[pl.ds(i, 1), :] = x_ref[pl.ds(srcs_ref[r, i], 1), :]
         dl = dstl_ref[pl.ds(r, 1), :]  # (1, T) i32
+        wv = wts_ref[pl.ds(r, 1), :]  # (1, T) f32
         iota = jax.lax.broadcasted_iota(jnp.int32, (W_WIN, T_SLOTS), 0)
-        oh = iota == dl
+        ohw = jnp.where(iota == dl, wv, 0.0)  # weighted one-hot
         scratch = g_ref[:]
         if precision == "bf16":
             part = jnp.dot(
-                oh.astype(jnp.bfloat16),
+                ohw.astype(jnp.bfloat16),
                 scratch.astype(jnp.bfloat16),
                 preferred_element_type=jnp.float32,
             )
         else:
             part = jnp.dot(
-                oh.astype(jnp.float32), scratch,
+                ohw, scratch.astype(jnp.float32),
                 preferred_element_type=jnp.float32,
             )
         first = first_ref[t] == 1
@@ -270,11 +282,9 @@ def _range_call(
                 lambda c, i, *_: (i // 8, 0),
                 memory_space=pltpu.SMEM,
             ),
-            pl.BlockSpec(
-                (8, T_SLOTS),
-                lambda c, i, *_: (i // 8, 0),
-                memory_space=pltpu.SMEM,
-            ),
+            # wts rides VMEM: read as a (1, T) vector into the weighted
+            # one-hot (folding the scale into the MXU operand)
+            pl.BlockSpec((8, T_SLOTS), lambda c, i, *_: (i // 8, 0)),
             pl.BlockSpec((8, T_SLOTS), lambda c, i, *_: (i // 8, 0)),
             pl.BlockSpec((rr, LANES), lambda c, i, *_: (0, c)),
             pl.BlockSpec(
@@ -285,7 +295,7 @@ def _range_call(
             (W_WIN, LANES), lambda c, i, wf, _f: (wf[i], c)
         ),
         scratch_shapes=[
-            pltpu.VMEM((T_SLOTS, LANES), jnp.float32),
+            pltpu.VMEM((T_SLOTS, LANES), table.dtype),
             pltpu.VMEM((W_WIN, LANES), jnp.float32),
         ],
     )
@@ -322,8 +332,9 @@ def row_spmm_layout_for(graph, use_weights: bool = True):
     persists to the spmv2 disk cache directory keyed by content hash."""
     if not row_spmm_available(graph.num_vertices):
         return None
+    rr = RANGE_ROWS
     adj = graph.csc()
-    key = (id(adj.majors), use_weights)
+    key = (id(adj.majors), use_weights, rr)
     hit = _ROW_CACHE.get(key)
     if hit is not None and hit[0] is adj.majors:
         return hit[1]
@@ -335,7 +346,7 @@ def row_spmm_layout_for(graph, use_weights: bool = True):
         if (adj.weights is None or not use_weights)
         else np.asarray(adj.weights)[:e]
     )
-    layout = _cached_build(d, s, wts, graph.num_vertices)
+    layout = _cached_build(d, s, wts, graph.num_vertices, rr)
     if len(_ROW_CACHE) > 4:
         _ROW_CACHE.clear()
     _ROW_CACHE[key] = (adj.majors, layout)
@@ -348,7 +359,7 @@ _STATIC_META = (
 )
 
 
-def _cached_build(d, s, wts, num_vertices):
+def _cached_build(d, s, wts, num_vertices, range_rows=RANGE_ROWS):
     import os
 
     from .spmv2 import _cache_dir
@@ -359,9 +370,9 @@ def _cached_build(d, s, wts, num_vertices):
         import hashlib
 
         h = hashlib.blake2b(digest_size=16)
-        h.update(b"rowspmm-v3")
+        h.update(b"rowspmm-v4")  # layout depends on T_SLOTS/W_WIN too
         h.update(np.int64(num_vertices).tobytes())
-        h.update(np.int64(RANGE_ROWS).tobytes())
+        h.update(np.int64(range_rows).tobytes())
         h.update(d.tobytes())
         h.update(s.tobytes())
         if wts is not None:
@@ -380,7 +391,8 @@ def _cached_build(d, s, wts, num_vertices):
                 )
         except (OSError, KeyError, ValueError):
             pass
-    layout = build_row_spmm_layout(d, s, wts, num_vertices)
+    layout = build_row_spmm_layout(d, s, wts, num_vertices,
+                                   range_rows=range_rows)
     if path is not None:
         arrays = {
             f.name: np.asarray(getattr(layout, f.name))

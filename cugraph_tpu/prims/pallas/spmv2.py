@@ -2477,7 +2477,11 @@ def save_sorted_layout(path: str, layout: SortedLayout) -> None:
     )
     import os
 
-    tmp = path + ".tmp.npz"  # ends in .npz so savez does not rename it
+    import threading
+
+    # unique tmp: concurrent builders (thread-pooled MG device builds)
+    # may save the same content key; .npz suffix so savez keeps the name
+    tmp = f"{path}.{os.getpid()}.{threading.get_native_id()}.tmp.npz"
     np.savez(tmp, __meta__=np.frombuffer(repr(meta).encode(), np.uint8), **arrays)
     os.replace(tmp, path)
     _evict_layout_cache(os.path.dirname(path), keep=path)
