@@ -84,7 +84,13 @@ def bench_pagerank(g, num_edges, iters: int = 50, reps: int = 3):
     # fixed-iteration run: tol=0 prevents early exit so edges/s is exact
     def run():
         pr, it = cg.pagerank(g, tol=0.0, max_iterations=iters)
-        jax.block_until_ready(pr)
+        # block on EVERY output AND pull a tiny slice to host: under the
+        # axon async runtime, waiting on a single tuple element has been
+        # observed to return before the computation drains (scale-23 BFS
+        # read 0.003 s vs a real 0.73 s). The host pull costs ~25 ms —
+        # noise at these magnitudes, and honest (pessimistic) timing.
+        jax.block_until_ready((pr, it))
+        np.asarray(pr[:64])
         return it
 
     run()  # compile + warm
@@ -103,8 +109,11 @@ def bench_bfs(g, num_edges, reps: int = 3):
     import cugraph_tpu as cg
 
     def run():
-        dist, _ = cg.bfs(g, 0)
-        jax.block_until_ready(dist)
+        dist, pred = cg.bfs(g, 0)
+        # see bench_pagerank: full-tuple block + host pull for honest
+        # timing on the async runtime
+        jax.block_until_ready((dist, pred))
+        np.asarray(dist[:64])
         return dist
 
     run()
@@ -132,7 +141,9 @@ def bench_spmm(g, num_edges, feat_dim: int = 128, reps: int = 3):
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(feats))
+        out = fn(feats)
+        jax.block_until_ready(out)
+        np.asarray(out[:8, :8])  # host pull: see bench_pagerank
         best = min(best, time.perf_counter() - t0)
     return num_edges / best, best
 

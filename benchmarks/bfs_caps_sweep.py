@@ -46,8 +46,11 @@ def main():
         caps = None if le == 0 else (1 << le, 1 << lv)
 
         def run():
-            d, _ = cg.bfs(g, 0, sparse_caps=caps)
-            jax.block_until_ready(d)
+            d, p = cg.bfs(g, 0, sparse_caps=caps)
+            # full-tuple block + host pull: see bench.bench_bfs (the
+            # async runtime under-measures single-element blocks)
+            jax.block_until_ready((d, p))
+            np.asarray(d[:64])
 
         run()  # compile
         best = float("inf")
