@@ -47,7 +47,11 @@ def main():
     from cugraph_tpu.prims.pallas.spmv2 import sorted_layouts_prebuild
 
     t0 = time.time()
-    lays = sorted_layouts_prebuild(g, [(True, "sum"), (False, "min")])
+    # materialize=False: multi-range prebuilds free each range after its
+    # disk-cache save (the scale-24 accumulation OOM-killed a 125 GB host)
+    lays = sorted_layouts_prebuild(
+        g, [(True, "sum"), (False, "min")], materialize=False
+    )
     assert lays is not None
     print(f"layouts built+cached in {time.time()-t0:.0f}s", flush=True)
 

@@ -2571,12 +2571,21 @@ def build_multi_sorted_layout(
     pad_weight: float = 0.0,
     span: Optional[int] = None,
     weight_variants: Optional[list] = None,
+    materialize: bool = True,
 ):
     """Split sources into span-wide ranges and build one sub-layout per
     non-empty range (each range's x table fits the VMEM budget). Empty
     ranges are skipped; sub-layouts share the disk cache individually.
     weight_variants: as in build_sorted_layout_auto — returns a list of
-    MultiSortedLayouts ([main, *siblings]) from one host pass per range."""
+    MultiSortedLayouts ([main, *siblings]) from one host pass per range.
+
+    materialize=False: prebuild mode — each range's layouts land in the
+    disk cache and are FREED immediately instead of accumulating (a
+    scale-24 sum+min set holds ~20 GB of layouts on top of the giant
+    range's build temporaries; the accumulation OOM-killed a 125 GB
+    host). Returns the number of built ranges."""
+    import gc
+
     span = span or _SRC_RANGE_SPAN
     cfg = cfg or default_config_for(int(num_vertices))
     srcs = np.asarray(srcs, dtype=np.int64)
@@ -2607,9 +2616,15 @@ def build_multi_sorted_layout(
                     pad_weight=pad_weight, num_src_vertices=span,
                 )
             ]
-        for i, lk in enumerate(lays):
-            parts[i].append(lk)
+        if materialize:
+            for i, lk in enumerate(lays):
+                parts[i].append(lk)
+        del lays
         range_of.append(k)
+        if not materialize:
+            gc.collect()  # drop this range's jnp buffers before the next
+    if not materialize:
+        return len(range_of)
     outs = [
         MultiSortedLayout(
             parts=tuple(p),
@@ -2806,13 +2821,16 @@ def sorted_layout_for(
     return layout
 
 
-def sorted_layouts_prebuild(graph, specs, cfg: Optional[Spmv2Config] = None):
+def sorted_layouts_prebuild(graph, specs, cfg: Optional[Spmv2Config] = None,
+                            materialize: bool = True):
     """Build several weight variants of the pull layout from ONE host pass
     (routing depends only on edge positions): specs is a list of
     (use_weights, variant) pairs as accepted by sorted_layout_for. Each
     result lands in the same disk-cache slot sorted_layout_for would use,
     so later calls (possibly in another process / on the TPU backend) hit
-    the cache. Returns the list of layouts."""
+    the cache. Returns the list of layouts (or, with materialize=False on
+    a multi-range graph, the number of built ranges — the memory-bounded
+    prebuild mode)."""
     if not sorted_layout_available(graph.num_vertices):
         return None
     adj = graph.csc()
@@ -2840,7 +2858,10 @@ def sorted_layouts_prebuild(graph, specs, cfg: Optional[Spmv2Config] = None):
         if _needs_src_ranges(graph.num_vertices)
         else build_sorted_layout_auto
     )
+    kw = {}
+    if build is build_multi_sorted_layout and not materialize:
+        kw["materialize"] = False
     return build(
         d, s, pairs[0][0], graph.num_vertices, cfg,
-        pad_weight=pairs[0][1], weight_variants=pairs[1:],
+        pad_weight=pairs[0][1], weight_variants=pairs[1:], **kw,
     )
