@@ -19,8 +19,12 @@ shapes on every device, so layouts are padded to common static shapes:
 
 Role parity: the reference's per-GPU kernel dispatch inside each MG rank
 (per_v_transform_reduce_incoming_outgoing_e.cuh update_major path).
-Sum-reduce only (the pagerank/katz/eigenvector family); min/max MG paths
-stay on the XLA reduce.
+Three reduce families are served: sum (pagerank/katz/eigenvector —
+build_mg_sorted), min-plus (mg_bfs/mg_sssp/mg_wcc — the min variant
+layouts, weights carrying the relax distances), and the push-transposed
+out direction (mg_hits' hub update, per_v_outgoing_sorted). Sum and min
+sibling layouts share one host pass (routing depends on edge positions
+only); the transposed variant is its own pass.
 """
 
 from __future__ import annotations

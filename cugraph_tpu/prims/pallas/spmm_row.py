@@ -251,9 +251,16 @@ def _range_call(
                 preferred_element_type=jnp.float32,
             )
         else:
+            # In-kernel f32 jnp.dot defaults to single-pass bf16 MXU
+            # products on TPU (~3e-2 rel err measured, PERFORMANCE.md
+            # round 4); HIGHEST forces the 3-pass exact decomposition.
+            # CPU/interpret dots are exact either way, so CI can't see
+            # the difference — the on-chip probe in
+            # benchmarks/probe_f32_precision.py verifies it.
             part = jnp.dot(
                 ohw, scratch.astype(jnp.float32),
                 preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
             )
         first = first_ref[t] == 1
 
@@ -422,7 +429,10 @@ def row_spmm(
 
     x: (num_src, F) f32. Returns (num_vertices, F) f32. precision "bf16"
     rounds the one-hot products to bf16 with f32 accumulation (the GNN
-    mixed-precision contract); "f32" is exact."""
+    mixed-precision contract); "f32" is exact on all backends (forces
+    MXU Precision.HIGHEST — ~3x MXU passes, but the engine is
+    gather-bound so the wall-clock cost is ~nil; measured equal at
+    scale 21)."""
     n, f = x.shape
     n_chunks = max(-(-f // LANES), 1)
     RR = layout.range_rows
