@@ -2314,7 +2314,15 @@ def sorted_spmv(
 
 def sorted_spmv_dispatch(layout, x, interpret=False, reduce="sum"):
     """Route to the single- or multi-range jit by layout type (pytree
-    structure differs, so enclosing jits retrace per engine)."""
+    structure differs, so enclosing jits retrace per engine). Keyed
+    (v3) layouts carry their reduce direction; it must match."""
+    from .spmv3 import KeyedLayout, keyed_spmv_jit
+
+    if isinstance(layout, KeyedLayout):
+        assert layout.reduce == reduce, (
+            f"keyed layout built for {layout.reduce!r}, asked {reduce!r}"
+        )
+        return keyed_spmv_jit(layout, x, interpret=interpret)
     if isinstance(layout, MultiSortedLayout):
         return _sorted_spmv_multi_jit(layout, x, interpret, reduce)
     return _sorted_spmv_jit(layout, x, interpret, reduce)
@@ -2378,9 +2386,13 @@ def sorted_spmm(
     the cost model; both are orders of magnitude ahead of the XLA
     row-gather/segment path (0.009 Grow/s measured). Small graphs take the
     dense MXU path instead (prims/dense_spmm.py)."""
+    from .spmv3 import KeyedLayout
+
     f = feats.shape[1]
     cols = jnp.swapaxes(feats, 0, 1)  # (F, V)
-    if precision == "f32" or f == 1:
+    # keyed (v3) layouts have no multi-stream pass; per-column f32
+    # sweeps (the GNN hot path rides spmm_row, not this)
+    if precision == "f32" or f == 1 or isinstance(layout, KeyedLayout):
 
         def one(col):
             return sorted_spmv_dispatch(layout, col, interpret)
@@ -2785,7 +2797,30 @@ def sorted_layout_for(
     variant "min": pad_weight +inf, edge value x+w (min-plus sweep for
     SSSP / BFS-predecessor; use_weights=False stores w=0 so the sweep
     returns min(x[src]) per dst).
-    None when unavailable (non-TPU backend / too large)."""
+    None when unavailable (non-TPU backend / too large).
+
+    Engine selection: sum layouts default to the keyed (v3) engine
+    (spmv3.py — fewer VPU stages, MXU reduce, ladder-free build);
+    CUGRAPH_TPU_ENGINE=v2 restores the sorted pipeline. min layouts
+    default to v2 (its scan+placement path has fewer stages when the
+    placement succeeds); CUGRAPH_TPU_MIN_ENGINE=v3 opts into the keyed
+    min path (ladder-free build — required where v2's host pass cannot
+    build, e.g. the scale-24 giant range)."""
+    import os as _os
+
+    want_v3 = variant == "sum" or (
+        variant == "min"
+        and _os.environ.get("CUGRAPH_TPU_MIN_ENGINE", "").lower() == "v3"
+    )
+    if want_v3 and cfg is None:
+        from .spmv3 import keyed_layout_for
+
+        lay3 = keyed_layout_for(
+            graph, direction=direction, use_weights=use_weights,
+            variant=variant,
+        )
+        if lay3 is not None:
+            return lay3
     if not sorted_layout_available(graph.num_vertices):
         return None
     adj = graph.csc() if direction == "in" else graph.csr()
@@ -2830,7 +2865,38 @@ def sorted_layouts_prebuild(graph, specs, cfg: Optional[Spmv2Config] = None,
     so later calls (possibly in another process / on the TPU backend) hit
     the cache. Returns the list of layouts (or, with materialize=False on
     a multi-range graph, the number of built ranges — the memory-bounded
-    prebuild mode)."""
+    prebuild mode).
+
+    Specs whose runtime path resolves to the keyed (v3) engine — sum
+    variants by default — are prebuilt through keyed_layout_for so the
+    cache keys match what sorted_layout_for will look up."""
+    import os as _os
+
+    keyed_specs = []
+    v2_specs = []
+    for uw, va in specs:
+        want_v3 = cfg is None and (
+            va == "sum"
+            or (
+                va == "min"
+                and _os.environ.get("CUGRAPH_TPU_MIN_ENGINE", "").lower()
+                == "v3"
+            )
+        )
+        (keyed_specs if want_v3 else v2_specs).append((uw, va))
+    keyed_built = []
+    if keyed_specs:
+        from .spmv3 import keyed_available, keyed_layout_for
+
+        if keyed_available(graph.num_vertices):
+            for uw, va in keyed_specs:
+                keyed_built.append(
+                    keyed_layout_for(graph, use_weights=uw, variant=va)
+                )
+            specs = v2_specs
+            if not specs:
+                return keyed_built
+        # else: fall through, build everything on v2
     if not sorted_layout_available(graph.num_vertices):
         return None
     adj = graph.csc()
@@ -2861,7 +2927,10 @@ def sorted_layouts_prebuild(graph, specs, cfg: Optional[Spmv2Config] = None,
     kw = {}
     if build is build_multi_sorted_layout and not materialize:
         kw["materialize"] = False
-    return build(
+    out = build(
         d, s, pairs[0][0], graph.num_vertices, cfg,
         pad_weight=pairs[0][1], weight_variants=pairs[1:], **kw,
     )
+    if keyed_built and isinstance(out, list):
+        return keyed_built + out
+    return out

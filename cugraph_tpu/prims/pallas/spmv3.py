@@ -48,15 +48,14 @@ high kernel dispatch, per_v_transform_reduce_incoming_outgoing_e.cuh:
     renumbering keeps neighbor degrees near-equal, so mean/max fill
     stays high.
 
-Keys/masks ride the SPARE BITS of the route2 hi words, so the keyed
-reduce adds ZERO extra HBM streams:
-
-  sum: hi bits 0..10 = route stages 32.. (part Benes <= 43 stages),
-       bit 12 = real element, bits 13..27 = the row's output row
-       within the part's output window (sentinel w_out = none).
-  min: part_rows <= 4096 (route stages 32..36 at bits 0..4), bit 5 =
-       segment start, bit 6 = real, bits 8..30 = row-Benes switch
-       words, bit 31 = output row received a group end.
+Keys/masks ride the SPARE BITS of the route2 hi words (bits 0..10 =
+route stages 32.. — the part Benes needs <= 43 stages at part_rows
+16384 — bit 12 = real element, bits 13..27 = the row's output row
+within the part's output window, sentinel w_out = none), so the sum
+reduce adds ZERO extra HBM streams. The min variant additionally
+streams one (part_rows, 128) i32 `minw` block per part: bit 0 =
+segment start, bit 1 = output row received a group end, bits 2..28 =
+the row-Benes switch words (27 stages = 16384 rows).
 """
 
 from __future__ import annotations
@@ -102,15 +101,12 @@ def default_config3_for(num_vertices: int, num_edges: int,
                         reduce: str = "sum") -> Spmv3Config:
     """Part size scales with E so per-part runs stay much longer than a
     chunk (the DMA-issue count is ~n_parts * n_slabs boundary chunks +
-    E/chunk real chunks; both shrink with bigger parts). The min
-    variant caps part_rows at 4096: its row-Benes switch bits must fit
-    hi bits 8..30 (23 stages = 4096 rows)."""
+    E/chunk real chunks; both shrink with bigger parts)."""
+    del reduce  # min and sum share the geometry (minw carries min bits)
     e = max(num_edges, 1)
     pr = 2048
     while pr < 16384 and e > pr * LANES * 120:
         pr *= 2
-    if reduce == "min":
-        pr = min(pr, 4096)
     return Spmv3Config(part_rows=pr, w_out=max(pr // 4, 512))
 
 
@@ -133,6 +129,10 @@ class KeyedLayout:
     winof: jax.Array  # (n_parts,) i32 output window block per part
     first_flag: jax.Array  # (n_parts,) i32 1 = window's first part
     heavy_dsts: jax.Array  # (n_heavy,) i32 dst ids of appended rows
+    # min only: (n_parts*part_rows, 128) i32 — bit 0 segment start,
+    # bit 1 valid output row, bits 2..28 row-Benes switch words.
+    # (8, 128) dummy for sum layouts.
+    minw: jax.Array
     cfg: Spmv3Config = dataclasses.field(metadata=dict(static=True))
     n_slabs: int = dataclasses.field(metadata=dict(static=True))
     n_parts: int = dataclasses.field(metadata=dict(static=True))
@@ -183,8 +183,7 @@ def build_keyed_layout(
         cfg = default_config3_for(v, e, reduce)
     SR, PR, CH, WO = cfg.slab_rows, cfg.part_rows, cfg.chunk_rows, cfg.w_out
     assert PR % CH == 0 and PR % 8 == 0 and WO % 8 == 0
-    if reduce == "min":
-        assert PR <= 4096, "min variant needs part_rows <= 4096"
+    assert PR <= 16384, "row-Benes bits cap part_rows at 16384"
     slab_e, part_e, chunk_e = SR * LANES, PR * LANES, CH * LANES
     x_rows = max(-(-vs // LANES), 8)
 
@@ -449,6 +448,11 @@ def build_keyed_layout(
     chunk_off = np.zeros(n_parts + 1, dtype=np.int64)
     route_jobs = []
     hi_extra = np.zeros((n_parts * PR, LANES), dtype=np.uint32)
+    minw_np = (
+        np.zeros((n_parts * PR, LANES), dtype=np.uint32)
+        if reduce == "min"
+        else np.zeros((8, LANES), dtype=np.uint32)
+    )
     ri = 0
     for pi, (a, bnd, b) in enumerate(parts):
         rlist = []
@@ -504,11 +508,10 @@ def build_keyed_layout(
         keys_loc = np.full(PR, WO, dtype=np.uint32)  # WO = trash key
         keys_loc[:keyed_rows] = (row_key[a:bnd] - b * WO).astype(np.uint32)
         real_rows = real_pos.reshape(PR, LANES)
-        if reduce == "sum":
-            extra = (
-                real_rows.astype(np.uint32) << 12
-            ) | (keys_loc[:, None].astype(np.uint32) << 13)
-        else:
+        hi_extra[pi * PR : (pi + 1) * PR] = (
+            real_rows.astype(np.uint32) << 12
+        ) | (keys_loc[:, None].astype(np.uint32) << 13)
+        if reduce == "min":
             flags = np.zeros(PR, dtype=np.uint32)
             flags[0] = 1
             if keyed_rows > 1:
@@ -528,16 +531,14 @@ def build_keyed_layout(
             used_r = np.zeros(PR, dtype=bool)
             used_r[keys_loc[end_rows]] = True
             rperm[rperm < 0] = np.nonzero(~used_r)[0]
-            rbits = pack_bits(route_benes(rperm))  # <= 23 stages (PR<=4096)
+            rbits = pack_bits(route_benes(rperm))  # <= 27 stages (PR 16K)
             valid = np.zeros(PR, dtype=np.uint32)
             valid[keys_loc[end_rows]] = 1
-            extra = (
-                (flags[:, None] << 5)
-                | (real_rows.astype(np.uint32) << 6)
-                | ((rbits[0].astype(np.uint32) & 0x7FFFFF) << 8)[:, None]
-                | (valid[:, None] << 31)
+            minw_np[pi * PR : (pi + 1) * PR] = (
+                flags[:, None]
+                | (valid[:, None] << 1)
+                | ((rbits[0].astype(np.uint32) & 0x7FFFFFF) << 2)[:, None]
             )
-        hi_extra[pi * PR : (pi + 1) * PR] = extra
         route_jobs.append((pi, perm))
     chunk_off[n_parts] = len(chunk_src_list)
     n_steps = max(len(chunk_src_list), 1)
@@ -560,10 +561,7 @@ def build_keyed_layout(
                 r2_hi[pi * PR : (pi + 1) * PR] = packed[1].reshape(
                     PR, LANES
                 )
-    if reduce == "min":
-        assert not (r2_hi & ~0x1F).any(), "min route bits exceed hi 0..4"
-    else:
-        assert not (r2_hi & ~0x7FF).any(), "sum route bits exceed hi 0..10"
+    assert not (r2_hi & ~0x7FF).any(), "route bits exceed hi 0..10"
     r2_hi = (r2_hi.astype(np.uint32) | hi_extra).astype(np.int32)
 
     r1_lo = np.zeros((slot_rows, LANES), np.int32)
@@ -601,6 +599,7 @@ def build_keyed_layout(
         winof=jnp.asarray(winof),
         first_flag=jnp.asarray(first_flag),
         heavy_dsts=jnp.asarray(heavy_ids.astype(np.int32)),
+        minw=jnp.asarray(minw_np.astype(np.int32)),
         cfg=cfg,
         n_slabs=n_slabs,
         n_parts=n_parts,
@@ -756,7 +755,7 @@ def _keyed_min_call(layout, binned, interpret):
     INF = float(np.inf)
 
     def kern(cs_ref, co_ref, wf_ref, ff_ref, b_ref, lo_ref, hi_ref,
-             o_ref, vbuf, sems):
+             mw_ref, o_ref, vbuf, sems):
         t = pl.program_id(0)
         issue, wait = _dma_gather_chunks(
             cs_ref, co_ref, b_ref, vbuf, sems, CH
@@ -773,12 +772,12 @@ def _keyed_min_call(layout, binned, interpret):
         wait(t, t % 2)
         v = vbuf[t % 2]
         x = _apply_benes_block(v, lo_ref[:], hi_ref[:], PR)
-        real = ((hi_ref[:] >> 6) & 1) > 0
+        real = ((hi_ref[:] >> 12) & 1) > 0
         xm = jnp.where(real, x, INF)
-        flags = ((hi_ref[:] >> 5) & 1).astype(jnp.float32)
+        flags = (mw_ref[:] & 1).astype(jnp.float32)
         scan = _seg_scan_rows(xm, flags, PR, "min")
-        placed = _apply_row_benes(scan, hi_ref[:], 8, PR)
-        valid = ((hi_ref[:] >> 31) & 1) > 0
+        placed = _apply_row_benes(scan, mw_ref[:], 2, PR)
+        valid = ((mw_ref[:] >> 1) & 1) > 0
         placed = jnp.where(valid, placed, INF)
 
         @pl.when(ff_ref[t] == 1)
@@ -792,6 +791,9 @@ def _keyed_min_call(layout, binned, interpret):
         grid=(n_parts,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(
+                (PR, LANES), lambda t, *p: (t, 0), memory_space=pltpu.VMEM
+            ),
             pl.BlockSpec(
                 (PR, LANES), lambda t, *p: (t, 0), memory_space=pltpu.VMEM
             ),
@@ -826,6 +828,7 @@ def _keyed_min_call(layout, binned, interpret):
         binned,
         layout.route2_lo,
         layout.route2_hi,
+        layout.minw,
     )
 
 
