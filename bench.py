@@ -76,6 +76,21 @@ def build_graph(scale: int, edgefactor: int):
     return g, num_edges
 
 
+def free_engine_caches():
+    """Drop layout references between bench phases so each phase's
+    layouts can leave HBM (sum + min + row layouts at scale 23 total
+    ~12 GB and co-residency OOMs the 16 GB chip; each phase reloads
+    from the disk cache)."""
+    import gc
+
+    from cugraph_tpu.prims.pallas import spmm_row, spmv2, spmv3
+
+    spmv2._SORTED_CACHE.clear()
+    spmv3._KEYED_CACHE.clear()
+    spmm_row._ROW_CACHE.clear()
+    gc.collect()
+
+
 def bench_pagerank(g, num_edges, iters: int = 50, reps: int = 3):
     import jax
 
@@ -164,6 +179,7 @@ def main():
 
     g, num_edges = build_graph(args.scale, args.edgefactor)
     eps, t = bench_pagerank(g, num_edges, iters=args.iters)
+    print(json.dumps({"phase": "pagerank", "seconds": t}), file=sys.stderr)
     if args.profile:
         from cugraph_tpu.utils.timer import profiler_trace
 
@@ -172,7 +188,10 @@ def main():
     # BASELINE.md names a metric TRIPLE (PageRank, BFS, GraphSAGE
     # aggregate edges/s); run all three so every round's driver-captured
     # artifact carries the full picture. Headline stays pagerank.
+    free_engine_caches()
     bfs_eps, bfs_t = bench_bfs(g, num_edges)
+    print(json.dumps({"phase": "bfs", "seconds": bfs_t}), file=sys.stderr)
+    free_engine_caches()
     spmm_eps, spmm_t = bench_spmm(g, num_edges)
     full = {
         "bfs_edges_per_s": bfs_eps,

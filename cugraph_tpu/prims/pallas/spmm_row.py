@@ -90,6 +90,7 @@ def build_row_spmm_layout(
     num_vertices: int,
     num_src_vertices: Optional[int] = None,
     range_rows: int = RANGE_ROWS,
+    as_numpy: bool = False,
 ) -> RowSpmmLayout:
     """Host pass: a few vectorized numpy sorts/scans over E (seconds at
     scale 21, vs minutes for the Benes layout build). Empty ranges get a
@@ -204,12 +205,13 @@ def build_row_spmm_layout(
         first_t[off] = 1
         off += s_t
 
+    conv = (lambda a: a) if as_numpy else jnp.asarray
     return RowSpmmLayout(
-        srcs=jnp.asarray(srcs_a),
-        wts=jnp.asarray(wts_a),
-        dstl=jnp.asarray(dstl_a),
-        winof=jnp.asarray(winof),
-        first=jnp.asarray(first_t),
+        srcs=conv(srcs_a),
+        wts=conv(wts_a),
+        dstl=conv(dstl_a),
+        winof=conv(winof),
+        first=conv(first_t),
         seg_tiles=tuple(int(t) for t in seg_tiles),
         seg_range=tuple(int(r_) for r_ in seg_range),
         n_windows=n_windows,
@@ -399,8 +401,13 @@ def _cached_build(d, s, wts, num_vertices, range_rows=RANGE_ROWS):
         except (OSError, KeyError, ValueError):
             pass
     layout = build_row_spmm_layout(d, s, wts, num_vertices,
-                                   range_rows=range_rows)
+                                   range_rows=range_rows,
+                                   as_numpy=path is not None)
     if path is not None:
+        # save from the HOST copies before any device transfer: pulling
+        # a device-resident layout back with np.asarray doubles the HBM
+        # footprint at the worst moment (observed RESOURCE_EXHAUSTED at
+        # scale 23 with other engine layouts resident)
         arrays = {
             f.name: np.asarray(getattr(layout, f.name))
             for f in dataclasses.fields(layout)
@@ -414,6 +421,9 @@ def _cached_build(d, s, wts, num_vertices, range_rows=RANGE_ROWS):
             **arrays,
         )
         os.replace(tmp, path)
+        layout = dataclasses.replace(
+            layout, **{k: jnp.asarray(arrays[k]) for k in arrays}
+        )
     return layout
 
 

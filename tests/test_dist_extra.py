@@ -1141,3 +1141,43 @@ def test_mg_leiden_random_quality(mesh):
         lab, q = mg_community.mg_leiden(mesh, mgg, cluster_state=state)
         assert abs(q - q_sg) < 1e-5, (state, q, q_sg)
         assert lab.shape == (v,)
+
+
+def test_mg_sample_owner_shuffle_matches_replicated(mesh, karate_sg, karate_mg):
+    """The owner-shuffle method draws IDENTICAL edges to the replicated
+    method for the same rng stream (both pad the seed list to the device
+    count and slice the same uniforms)."""
+    key = jax.random.PRNGKey(7)
+    kw = dict(rng_key=key, with_replacement=False)
+    rep = mg_sampling.mg_uniform_neighbor_sample(
+        mesh, karate_mg, [0, 5, 33], [4, 2], method="replicate", **kw
+    )
+    shf = mg_sampling.mg_uniform_neighbor_sample(
+        mesh, karate_mg, [0, 5, 33], [4, 2], method="shuffle", **kw
+    )
+    for res in (rep, shf):
+        assert len(res["sources"]) > 0
+    a = sorted(
+        zip(rep["sources"], rep["destinations"], rep["edge_ids"], rep["hop"])
+    )
+    b = sorted(
+        zip(shf["sources"], shf["destinations"], shf["edge_ids"], shf["hop"])
+    )
+    assert a == b
+
+
+def test_mg_sample_owner_shuffle_with_replacement(mesh, karate_sg, karate_mg):
+    edges = set(
+        zip(
+            np.asarray(karate_sg.csr().majors)[: karate_sg.num_edges].tolist(),
+            np.asarray(karate_sg.csr().minors)[: karate_sg.num_edges].tolist(),
+        )
+    )
+    res = mg_sampling.mg_uniform_neighbor_sample(
+        mesh, karate_mg, list(range(20)), [3, 2],
+        rng_key=jax.random.PRNGKey(9), with_replacement=True,
+        method="shuffle",
+    )
+    assert len(res["sources"]) > 0
+    for s, d in zip(res["sources"], res["destinations"]):
+        assert (int(s), int(d)) in edges
