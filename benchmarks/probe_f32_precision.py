@@ -6,7 +6,10 @@ Precision.HIGHEST is requested (measured ~3e-2 rel err, PERFORMANCE.md
 round 4), while CPU dots are exact either way. This probe runs on the
 real chip and asserts the contract both ways:
 
-  - precision="f32"  -> rel err vs float64 oracle < 1e-6
+  - precision="f32"  -> rel err vs float64 oracle < 5e-5 (measured
+    1.6e-5 on v5e: Mosaic lowers HIGHEST in-kernel dots to the 2-pass
+    bf16 hi/lo decomposition, ~16 effective mantissa bits — vs 3e-2
+    before the fix)
   - precision="bf16" -> rel err in the bf16 band (sanity: the fix did
     not silently slow/upcast the mixed-precision path)
 
@@ -50,7 +53,7 @@ def main():
     denom = np.maximum(np.abs(oracle), 1.0)
 
     xj = jax.numpy.asarray(x)
-    for prec, bound in (("f32", 1e-6), ("bf16", 3e-2)):
+    for prec, bound in (("f32", 5e-5), ("bf16", 3e-2)):
         t0 = time.perf_counter()
         y = spmm_row.row_spmm(lay, xj, precision=prec)
         jax.block_until_ready(y)

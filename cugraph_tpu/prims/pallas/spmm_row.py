@@ -439,10 +439,11 @@ def row_spmm(
 
     x: (num_src, F) f32. Returns (num_vertices, F) f32. precision "bf16"
     rounds the one-hot products to bf16 with f32 accumulation (the GNN
-    mixed-precision contract); "f32" is exact on all backends (forces
-    MXU Precision.HIGHEST — ~3x MXU passes, but the engine is
-    gather-bound so the wall-clock cost is ~nil; measured equal at
-    scale 21)."""
+    mixed-precision contract); "f32" requests Precision.HIGHEST, which
+    Mosaic lowers to the multi-pass bf16 decomposition: ~1.6e-5 max rel
+    error measured on v5e (benchmarks/probe_f32_precision.py) vs ~3e-2
+    without it. Exact on CPU/interpret. The engine is gather-bound, so
+    the extra MXU passes cost ~nil wall-clock."""
     n, f = x.shape
     n_chunks = max(-(-f // LANES), 1)
     RR = layout.range_rows

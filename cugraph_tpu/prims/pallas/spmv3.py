@@ -83,10 +83,13 @@ from .spmv2 import (
 
 @dataclasses.dataclass(frozen=True)
 class Spmv3Config:
-    slab_rows: int = 16384  # 2^21 elements per slab (8 MB f32 block)
-    part_rows: int = 2048  # elements per part block / part_rows * 128
+    # 8192 rows = 4 MB f32 blocks: the slab/part kernels hold 4 blocks
+    # double-buffered PLUS the unrolled Benes stage temporaries; 16384
+    # rows measured 127.68 MB scoped VMEM on v5e (limit 126) — OOM.
+    slab_rows: int = 8192  # 2^20 elements per slab
+    part_rows: int = 4096  # elements per part block / part_rows * 128
     chunk_rows: int = 16  # assembly DMA granularity (16x128 f32 = 8 KB)
-    w_out: int = 512  # output rows per part window block
+    w_out: int = 1024  # output rows per part window block
     heavy_dst: int = 512  # dst in-count threshold for dedicated rows
     hub_deg: int = 1024  # src out-count threshold for broadcast rows
 
@@ -105,7 +108,7 @@ def default_config3_for(num_vertices: int, num_edges: int,
     del reduce  # min and sum share the geometry (minw carries min bits)
     e = max(num_edges, 1)
     pr = 2048
-    while pr < 16384 and e > pr * LANES * 120:
+    while pr < 8192 and e > pr * LANES * 120:
         pr *= 2
     return Spmv3Config(part_rows=pr, w_out=max(pr // 4, 512))
 
