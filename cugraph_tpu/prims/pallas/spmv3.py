@@ -388,8 +388,15 @@ def build_keyed_layout(
             r1 = r0 + max(((r1 - r0) * 3) // 4, 1)
         parts.append((r0, r1, b))
         r0 = r1
-    if not parts:
-        parts = [(0, 0, 0)]
+    # every output block needs >= 1 part: unwritten out blocks hold
+    # uninitialized garbage (empty tail windows are common — degree
+    # sorting concentrates in-edges at low dst ids). An empty part
+    # costs one grid step: first_flag zeroes the block, adds nothing.
+    have = {b for (_a, _bnd, b) in parts}
+    for b in range(n_out_blocks):
+        if b not in have:
+            parts.append((total_rows, total_rows, b))
+    parts.sort(key=lambda t: t[2])
     n_parts = len(parts)
 
     # ---- slab-side packing: group each slab's elements by part ----------
@@ -887,7 +894,7 @@ def _keyed_cache_key(dsts, srcs, weights, num_vertices, cfg, pad_weight,
     import hashlib
 
     h = hashlib.blake2b(digest_size=16)
-    h.update(b"keyed-v1")
+    h.update(b"keyed-v2")  # v2: empty-out-block parts (garbage fix)
     h.update(np.int64(num_vertices).tobytes())
     if num_src_vertices is not None:
         h.update(np.int64(num_src_vertices).tobytes())

@@ -173,3 +173,27 @@ def test_keyed_disk_cache_roundtrip(rng, tmp_path, monkeypatch):
     y2 = np.asarray(keyed_spmv_jit(l2, jnp.asarray(x), interpret=True))
     np.testing.assert_array_equal(y1, y2)
     assert l2.cfg == l1.cfg and l2.n_parts == l1.n_parts
+
+
+def test_keyed_empty_tail_windows_written(rng):
+    """Degree-sorted graphs leave trailing output windows with no
+    edges; every out block must still be written (zero / +inf), not
+    left as uninitialized garbage (found at RMAT scale 18: NaN y)."""
+    v = 5000  # several WO=16 output blocks under TINY3
+    e = 3000
+    srcs = rng.integers(0, v, e).astype(np.int64)
+    dsts = rng.integers(0, 300, e).astype(np.int64)  # low ids only
+    x = rng.normal(size=v).astype(np.float32)
+    lay = build_keyed_layout(dsts, srcs, None, v, TINY3)
+    y = np.asarray(keyed_spmv_jit(lay, jnp.asarray(x), interpret=True))
+    oracle = _oracle_sum(dsts, srcs, None, x, v)
+    assert np.all(np.isfinite(y))
+    err = np.max(np.abs(y - oracle) / np.maximum(np.abs(oracle), 1.0))
+    assert err < 2e-4, err
+    assert np.all(y[1000:] == 0.0)
+    lay_m = build_keyed_layout(
+        dsts, srcs, np.zeros(e, np.float32), v, TINY3,
+        pad_weight=float("inf"), reduce="min",
+    )
+    ym = np.asarray(keyed_spmv_jit(lay_m, jnp.asarray(x), interpret=True))
+    assert np.all(np.isinf(ym[1000:]))
