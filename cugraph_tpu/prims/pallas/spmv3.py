@@ -89,15 +89,23 @@ class Spmv3Config:
     slab_rows: int = 8192  # 2^20 elements per slab
     part_rows: int = 4096  # elements per part block / part_rows * 128
     chunk_rows: int = 16  # assembly DMA granularity (16x128 f32 = 8 KB)
-    w_out: int = 1024  # output rows per part window block
+    # output BLOCK rows (coarse: fewer part-at-boundary breaks) vs the
+    # one-hot width a part serves (a part's key span; its (w_part, 128)
+    # result writes at an 8-aligned row offset inside the block).
+    # Decoupling these removed a 28.8%-of-slots boundary padding at
+    # RMAT scale 21 while keeping the MXU cost prop. to w_part.
+    w_out: int = 4096
+    w_part: int = 1024
     heavy_dst: int = 512  # dst in-count threshold for dedicated rows
     hub_deg: int = 1024  # src out-count threshold for broadcast rows
 
 
 TINY3 = Spmv3Config(
-    slab_rows=64, part_rows=32, chunk_rows=2, w_out=16, heavy_dst=16,
-    hub_deg=8,
+    slab_rows=64, part_rows=32, chunk_rows=2, w_out=16, w_part=8,
+    heavy_dst=16, hub_deg=8,
 )
+
+LAST_STATS: dict = {}  # fill diagnostics of the most recent build
 
 
 def default_config3_for(num_vertices: int, num_edges: int,
@@ -110,7 +118,7 @@ def default_config3_for(num_vertices: int, num_edges: int,
     pr = 2048
     while pr < 8192 and e > pr * LANES * 120:
         pr *= 2
-    return Spmv3Config(part_rows=pr, w_out=max(pr // 4, 512))
+    return Spmv3Config(part_rows=pr)
 
 
 @jax.tree_util.register_dataclass
@@ -124,12 +132,15 @@ class KeyedLayout:
     # K-B slab Benes to chunk-exact positions
     route1_lo: jax.Array  # (slot_rows, 128) i32 stages 0..31
     route1_hi: jax.Array  # (slot_rows, 128) i32 stages 32..
-    # K-C chunk gather + keyed reduce
-    chunk_src: jax.Array  # (n_steps,) i32 source chunk in slab space
-    chunk_off: jax.Array  # (n_parts + 1,) i32 per-part chunk range
+    # K-C chunk gather + keyed reduce. chunk_src entries are coalesced
+    # run descriptors: src chunk (bits 0..17) | dst chunk slot (18..26)
+    # | log2 chunk count (27..29)
+    chunk_src: jax.Array  # (n_steps,) i32 DMA descriptors
+    chunk_off: jax.Array  # (n_parts + 1,) i32 per-part descriptor range
     route2_lo: jax.Array  # (n_parts*part_rows, 128) i32 stages 0..31
     route2_hi: jax.Array  # (n_parts*part_rows, 128) i32 + spare bits
     winof: jax.Array  # (n_parts,) i32 output window block per part
+    partoff: jax.Array  # (n_parts,) i32 8-aligned write row in the block
     first_flag: jax.Array  # (n_parts,) i32 1 = window's first part
     heavy_dsts: jax.Array  # (n_heavy,) i32 dst ids of appended rows
     # min only: (n_parts*part_rows, 128) i32 — bit 0 segment start,
@@ -185,7 +196,9 @@ def build_keyed_layout(
     if cfg is None:
         cfg = default_config3_for(v, e, reduce)
     SR, PR, CH, WO = cfg.slab_rows, cfg.part_rows, cfg.chunk_rows, cfg.w_out
+    WP = cfg.w_part
     assert PR % CH == 0 and PR % 8 == 0 and WO % 8 == 0
+    assert WP % 8 == 0 and WP <= WO and WP <= PR
     assert PR <= 16384, "row-Benes bits cap part_rows at 16384"
     slab_e, part_e, chunk_e = SR * LANES, PR * LANES, CH * LANES
     x_rows = max(-(-vs // LANES), 8)
@@ -369,15 +382,21 @@ def build_keyed_layout(
     block_of_key = (
         row_key // WO if total_rows else np.zeros(0, np.int64)
     )
-    parts = []
+    parts = []  # (row0, row1, out_block, key_offset_in_block)
     r0 = 0
     max_chunks = PR // CH
     while r0 < total_rows:
         b = int(block_of_key[r0])
+        # part write offset: first key rounded down to 8 rows, clamped
+        # so the (w_part, 128) slice stays inside the (w_out, 128) block
+        off = min(int(row_key[r0] - b * WO) & ~7, WO - WP)
         r_blk = int(
             np.searchsorted(block_of_key, b, side="right")
         )
-        r1 = min(r0 + PR, r_blk)
+        # key-span cap: keys served by this part live in
+        # [b*WO + off, b*WO + off + WP)
+        r_span = int(np.searchsorted(row_key, b * WO + off + WP))
+        r1 = min(r0 + PR, r_blk, r_span)
         while True:
             sl = slab_of_edge[edge_by_row[row_cum[r0] : row_cum[r1]]]
             sz = np.bincount(sl, minlength=n_slabs)
@@ -386,22 +405,22 @@ def build_keyed_layout(
             if chunks_bound <= max_chunks or r1 <= r0 + 1:
                 break
             r1 = r0 + max(((r1 - r0) * 3) // 4, 1)
-        parts.append((r0, r1, b))
+        parts.append((r0, r1, b, off))
         r0 = r1
     # every output block needs >= 1 part: unwritten out blocks hold
     # uninitialized garbage (empty tail windows are common — degree
     # sorting concentrates in-edges at low dst ids). An empty part
     # costs one grid step: first_flag zeroes the block, adds nothing.
-    have = {b for (_a, _bnd, b) in parts}
+    have = {b for (_a, _bnd, b, _o) in parts}
     for b in range(n_out_blocks):
         if b not in have:
-            parts.append((total_rows, total_rows, b))
+            parts.append((total_rows, total_rows, b, 0))
     parts.sort(key=lambda t: t[2])
     n_parts = len(parts)
 
     # ---- slab-side packing: group each slab's elements by part ----------
     part_of_row = np.zeros(max(total_rows, 1), dtype=np.int64)
-    for pi, (a, bnd, _b) in enumerate(parts):
+    for pi, (a, bnd, _b, _o) in enumerate(parts):
         part_of_row[a:bnd] = pi
     part_of_edge = part_of_row[np.minimum(grow, max(total_rows - 1, 0))]
     comp = slab_of_edge * (n_parts + 1) + part_of_edge
@@ -464,7 +483,7 @@ def build_keyed_layout(
         else np.zeros((8, LANES), dtype=np.uint32)
     )
     ri = 0
-    for pi, (a, bnd, b) in enumerate(parts):
+    for pi, (a, bnd, b, off) in enumerate(parts):
         rlist = []
         while ri < len(po) and runs_sorted_part[ri] == pi:
             rlist.append(po[ri])
@@ -486,8 +505,29 @@ def build_keyed_layout(
                 f"{max_chunks}); rows [{a},{bnd}); runs (slab,pos,len): "
                 f"{info}"
             )
+        # DMA descriptors: runs are CONTIGUOUS chunk spans in both slab
+        # space and the part input, so one descriptor covers 2^k chunks
+        # (src chunk 18b | dst slot 9b << 18 | k 3b << 27) — ~2 issues
+        # per run instead of one per chunk.
         chunk_off[pi] = len(chunk_src_list)
-        chunk_src_list.extend(cks)
+        dst_slot = 0
+        for rj_i, rj in enumerate(rlist):
+            s = run_slab[rj]
+            p0 = run_pos0[rj]
+            p1 = p0 + run_lens[rj]
+            base = s * (slab_e // chunk_e)
+            c0 = int(base + p0 // chunk_e)
+            c1 = int(base + -(-p1 // chunk_e))
+            left = c1 - c0
+            cur = c0
+            while left:
+                k = min(left.bit_length() - 1, 7)
+                n_ck = 1 << k
+                assert cur < (1 << 18) and dst_slot < (1 << 9)
+                chunk_src_list.append(cur | (dst_slot << 18) | (k << 27))
+                cur += n_ck
+                dst_slot += n_ck
+                left -= n_ck
         cks_a = np.asarray(cks, dtype=np.int64)
         n_in = len(cks_a) * chunk_e
         if n_in:
@@ -515,8 +555,11 @@ def build_keyed_layout(
         perm[:n_in] = tgt
         perm[n_in:] = free_t[len(left_in) :]
         keyed_rows = bnd - a
-        keys_loc = np.full(PR, WO, dtype=np.uint32)  # WO = trash key
-        keys_loc[:keyed_rows] = (row_key[a:bnd] - b * WO).astype(np.uint32)
+        keys_loc = np.full(PR, WP, dtype=np.uint32)  # WP = trash key
+        keys_loc[:keyed_rows] = (
+            row_key[a:bnd] - b * WO - off
+        ).astype(np.uint32)
+        assert keyed_rows == 0 or keys_loc[:keyed_rows].max() < WP
         real_rows = real_pos.reshape(PR, LANES)
         hi_extra[pi * PR : (pi + 1) * PR] = (
             real_rows.astype(np.uint32) << 12
@@ -587,9 +630,28 @@ def build_keyed_layout(
             if packed.shape[0] > 1:
                 r1_hi[s * SR : (s + 1) * SR] = packed[1].reshape(SR, LANES)
 
-    winof = np.asarray([b for (_a, _bnd, b) in parts], dtype=np.int32)
+    winof = np.asarray([b for (_a, _bnd, b, _o) in parts], dtype=np.int32)
+    partoff = np.asarray([o for (_a, _bnd, _b, o) in parts], dtype=np.int32)
     first_flag = np.ones(n_parts, dtype=np.int32)
     first_flag[1:] = (winof[1:] != winof[:-1]).astype(np.int32)
+
+    # fill diagnostics (module global, read by benchmarks/tests):
+    # where the slot budget goes — window-max column inflation, heavy
+    # rows, part-boundary padding (block crossings + chunk-budget
+    # shrink), and chunk-boundary dupes.
+    LAST_STATS.clear()
+    LAST_STATS.update(
+        n_parts=n_parts,
+        slots=n_parts * part_e,
+        edges=e,
+        win_rows=n_win_rows,
+        heavy_rows=int(heavy_base[-1]),
+        total_rows=total_rows,
+        part_pad_rows=n_parts * PR - total_rows,
+        chunks=len(chunk_src_list),
+        runs=int(len(run_lens)),
+        slabs=n_slabs,
+    )
 
     lay = KeyedLayout(
         prow=jnp.asarray(prow_np),
@@ -607,6 +669,7 @@ def build_keyed_layout(
         route2_lo=jnp.asarray(r2_lo),
         route2_hi=jnp.asarray(r2_hi),
         winof=jnp.asarray(winof),
+        partoff=jnp.asarray(partoff),
         first_flag=jnp.asarray(first_flag),
         heavy_dsts=jnp.asarray(heavy_ids.astype(np.int32)),
         minw=jnp.asarray(minw_np.astype(np.int32)),
@@ -651,22 +714,82 @@ def _apply_row_benes(x, words, shift, rows):
     return x
 
 
+def _dma_gather_runs(cs_ref, co_ref, b_ref, vbuf, sems, CH, kmax):
+    """Issue/wait for the coalesced run descriptors: descriptor d copies
+    2^k chunks from slab space chunk (d & 0x3FFFF) to part-input chunk
+    slot ((d >> 18) & 0x1FF) of vbuf[slot]. kmax bounds the size-class
+    branch set (a 2^k-chunk copy must fit the part block)."""
+    import jax.lax as lax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def issue(p, slot):
+        base = co_ref[p]
+
+        def body(i, _):
+            d = cs_ref[base + i]
+            src = d & 0x3FFFF
+            dst = (d >> 18) & 0x1FF
+            k = (d >> 27) & 0x7
+
+            def mk(kk):
+                def f(_x):
+                    pltpu.make_async_copy(
+                        b_ref.at[pl.ds(src * CH, CH << kk), :],
+                        vbuf.at[slot, pl.ds(dst * CH, CH << kk), :],
+                        sems.at[slot],
+                    ).start()
+                    return 0
+
+                return f
+
+            lax.switch(k, [mk(kk) for kk in range(kmax + 1)], 0)
+            return 0
+
+        lax.fori_loop(0, co_ref[p + 1] - base, body, 0)
+
+    def wait(p, slot):
+        def body(i, _):
+            d = cs_ref[co_ref[p] + i]
+            k = (d >> 27) & 0x7
+
+            def mk(kk):
+                def f(_x):
+                    pltpu.make_async_copy(
+                        b_ref.at[pl.ds(0, CH << kk), :],
+                        vbuf.at[slot, pl.ds(0, CH << kk), :],
+                        sems.at[slot],
+                    ).wait()
+                    return 0
+
+                return f
+
+            lax.switch(k, [mk(kk) for kk in range(kmax + 1)], 0)
+            return 0
+
+        lax.fori_loop(0, co_ref[p + 1] - co_ref[p], body, 0)
+
+    return issue, wait
+
+
 def _keyed_reduce_call(layout, binned, interpret):
-    """K-C sum: fused chunk DMA + part Benes + one-hot MXU reduce."""
+    """K-C sum: fused run DMA + part Benes + one-hot MXU reduce."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     PR = layout.cfg.part_rows
     CH = layout.cfg.chunk_rows
     WO = layout.cfg.w_out
+    WP = layout.cfg.w_part
     n_parts = layout.n_parts
+    KMAX = min(7, (PR // CH).bit_length() - 1)
     TR = min(PR, 1024)  # row tile of the one-hot matmul
 
-    def kern(cs_ref, co_ref, wf_ref, ff_ref, b_ref, lo_ref, hi_ref,
-             o_ref, vbuf, sems):
+    def kern(cs_ref, co_ref, wf_ref, po_ref, ff_ref, b_ref, lo_ref,
+             hi_ref, o_ref, vbuf, sems):
         t = pl.program_id(0)
-        issue, wait = _dma_gather_chunks(
-            cs_ref, co_ref, b_ref, vbuf, sems, CH
+        issue, wait = _dma_gather_runs(
+            cs_ref, co_ref, b_ref, vbuf, sems, CH, KMAX
         )
 
         @pl.when(t == 0)
@@ -691,11 +814,11 @@ def _keyed_reduce_call(layout, binned, interpret):
         def _():
             o_ref[:] = jnp.zeros_like(o_ref)
 
-        acc = jnp.zeros((WO, LANES), jnp.float32)
+        acc = jnp.zeros((WP, LANES), jnp.float32)
         for r0 in range(0, PR, TR):
             kw = keyw[r0 : r0 + TR]
-            iota_w = jax.lax.broadcasted_iota(jnp.int32, (TR, WO), 1)
-            oh = (kw == iota_w).astype(jnp.bfloat16)  # (TR, WO)
+            iota_w = jax.lax.broadcasted_iota(jnp.int32, (TR, WP), 1)
+            oh = (kw == iota_w).astype(jnp.bfloat16)  # (TR, WP)
             dn = (((0,), (0,)), ((), ()))
             acc = acc + jax.lax.dot_general(
                 oh, hi16[r0 : r0 + TR], dn,
@@ -705,10 +828,12 @@ def _keyed_reduce_call(layout, binned, interpret):
                 oh, lo16[r0 : r0 + TR], dn,
                 preferred_element_type=jnp.float32,
             )
-        o_ref[:] = o_ref[:] + acc
+        off = po_ref[t]
+        cur = o_ref[pl.ds(off, WP), :]
+        o_ref[pl.ds(off, WP), :] = cur + acc
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=5,
         grid=(n_parts,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),  # binned (DMA-gathered)
@@ -742,6 +867,7 @@ def _keyed_reduce_call(layout, binned, interpret):
         layout.chunk_src,
         layout.chunk_off,
         layout.winof,
+        layout.partoff,
         layout.first_flag,
         binned,
         layout.route2_lo,
@@ -761,14 +887,16 @@ def _keyed_min_call(layout, binned, interpret):
     PR = layout.cfg.part_rows
     CH = layout.cfg.chunk_rows
     WO = layout.cfg.w_out
+    WP = layout.cfg.w_part
     n_parts = layout.n_parts
+    KMAX = min(7, (PR // CH).bit_length() - 1)
     INF = float(np.inf)
 
-    def kern(cs_ref, co_ref, wf_ref, ff_ref, b_ref, lo_ref, hi_ref,
-             mw_ref, o_ref, vbuf, sems):
+    def kern(cs_ref, co_ref, wf_ref, po_ref, ff_ref, b_ref, lo_ref,
+             hi_ref, mw_ref, o_ref, vbuf, sems):
         t = pl.program_id(0)
-        issue, wait = _dma_gather_chunks(
-            cs_ref, co_ref, b_ref, vbuf, sems, CH
+        issue, wait = _dma_gather_runs(
+            cs_ref, co_ref, b_ref, vbuf, sems, CH, KMAX
         )
 
         @pl.when(t == 0)
@@ -794,10 +922,12 @@ def _keyed_min_call(layout, binned, interpret):
         def _():
             o_ref[:] = jnp.full_like(o_ref, INF)
 
-        o_ref[:] = jnp.minimum(o_ref[:], placed[:WO, :])
+        off = po_ref[t]
+        cur = o_ref[pl.ds(off, WP), :]
+        o_ref[pl.ds(off, WP), :] = jnp.minimum(cur, placed[:WP, :])
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=5,
         grid=(n_parts,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
@@ -834,6 +964,7 @@ def _keyed_min_call(layout, binned, interpret):
         layout.chunk_src,
         layout.chunk_off,
         layout.winof,
+        layout.partoff,
         layout.first_flag,
         binned,
         layout.route2_lo,
@@ -894,7 +1025,7 @@ def _keyed_cache_key(dsts, srcs, weights, num_vertices, cfg, pad_weight,
     import hashlib
 
     h = hashlib.blake2b(digest_size=16)
-    h.update(b"keyed-v2")  # v2: empty-out-block parts (garbage fix)
+    h.update(b"keyed-v3")  # v3: w_part offsets + run DMA descriptors
     h.update(np.int64(num_vertices).tobytes())
     if num_src_vertices is not None:
         h.update(np.int64(num_src_vertices).tobytes())
