@@ -88,7 +88,10 @@ class Spmv3Config:
     # rows measured 127.68 MB scoped VMEM on v5e (limit 126) — OOM.
     slab_rows: int = 8192  # 2^20 elements per slab
     part_rows: int = 4096  # elements per part block / part_rows * 128
-    chunk_rows: int = 16  # assembly DMA granularity (16x128 f32 = 8 KB)
+    # fine chunks cost nothing since DMAs are per-RUN descriptors; they
+    # buy chunk-slot headroom (the packer's fill ceiling) and smaller
+    # boundary dupes. 4x128 f32 = 2 KB minimum copy.
+    chunk_rows: int = 4
     # output BLOCK rows (coarse: fewer part-at-boundary breaks) vs the
     # one-hot width a part serves (a part's key span; its (w_part, 128)
     # result writes at an 8-aligned row offset inside the block).
@@ -133,8 +136,8 @@ class KeyedLayout:
     route1_lo: jax.Array  # (slot_rows, 128) i32 stages 0..31
     route1_hi: jax.Array  # (slot_rows, 128) i32 stages 32..
     # K-C chunk gather + keyed reduce. chunk_src entries are coalesced
-    # run descriptors: src chunk (bits 0..17) | dst chunk slot (18..26)
-    # | log2 chunk count (27..29)
+    # run descriptors: src chunk (bits 0..27) | log2 chunk count
+    # (28..30); the dst chunk slot is the running size cursor
     chunk_src: jax.Array  # (n_steps,) i32 DMA descriptors
     chunk_off: jax.Array  # (n_parts + 1,) i32 per-part descriptor range
     route2_lo: jax.Array  # (n_parts*part_rows, 128) i32 stages 0..31
@@ -510,8 +513,7 @@ def build_keyed_layout(
         # (src chunk 18b | dst slot 9b << 18 | k 3b << 27) — ~2 issues
         # per run instead of one per chunk.
         chunk_off[pi] = len(chunk_src_list)
-        dst_slot = 0
-        for rj_i, rj in enumerate(rlist):
+        for rj in rlist:
             s = run_slab[rj]
             p0 = run_pos0[rj]
             p1 = p0 + run_lens[rj]
@@ -522,12 +524,10 @@ def build_keyed_layout(
             cur = c0
             while left:
                 k = min(left.bit_length() - 1, 7)
-                n_ck = 1 << k
-                assert cur < (1 << 18) and dst_slot < (1 << 9)
-                chunk_src_list.append(cur | (dst_slot << 18) | (k << 27))
-                cur += n_ck
-                dst_slot += n_ck
-                left -= n_ck
+                assert cur < (1 << 28)
+                chunk_src_list.append(cur | (k << 28))
+                cur += 1 << k
+                left -= 1 << k
         cks_a = np.asarray(cks, dtype=np.int64)
         n_in = len(cks_a) * chunk_e
         if n_in:
@@ -726,11 +726,10 @@ def _dma_gather_runs(cs_ref, co_ref, b_ref, vbuf, sems, CH, kmax):
     def issue(p, slot):
         base = co_ref[p]
 
-        def body(i, _):
+        def body(i, dst):
             d = cs_ref[base + i]
-            src = d & 0x3FFFF
-            dst = (d >> 18) & 0x1FF
-            k = (d >> 27) & 0x7
+            src = d & 0xFFFFFFF
+            k = (d >> 28) & 0x7
 
             def mk(kk):
                 def f(_x):
@@ -744,14 +743,14 @@ def _dma_gather_runs(cs_ref, co_ref, b_ref, vbuf, sems, CH, kmax):
                 return f
 
             lax.switch(k, [mk(kk) for kk in range(kmax + 1)], 0)
-            return 0
+            return dst + (1 << k)
 
         lax.fori_loop(0, co_ref[p + 1] - base, body, 0)
 
     def wait(p, slot):
         def body(i, _):
             d = cs_ref[co_ref[p] + i]
-            k = (d >> 27) & 0x7
+            k = (d >> 28) & 0x7
 
             def mk(kk):
                 def f(_x):
@@ -1025,7 +1024,7 @@ def _keyed_cache_key(dsts, srcs, weights, num_vertices, cfg, pad_weight,
     import hashlib
 
     h = hashlib.blake2b(digest_size=16)
-    h.update(b"keyed-v3")  # v3: w_part offsets + run DMA descriptors
+    h.update(b"keyed-v4")  # v4: CH=4, cursor-addressed run descriptors
     h.update(np.int64(num_vertices).tobytes())
     if num_src_vertices is not None:
         h.update(np.int64(num_src_vertices).tobytes())
