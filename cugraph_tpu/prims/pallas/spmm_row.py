@@ -447,9 +447,24 @@ def row_spmm(
     n, f = x.shape
     n_chunks = max(-(-f // LANES), 1)
     RR = layout.range_rows
-    rows = layout.n_ranges * RR
-    xpad = jnp.zeros((rows, n_chunks * LANES), jnp.float32)
-    xpad = xpad.at[:n, :f].set(x.astype(jnp.float32))
+    xf = x if x.dtype == jnp.float32 else x.astype(jnp.float32)
+
+    def range_table(k):
+        # per-range table sliced on the fly: a full range-padded copy of
+        # x doubles the (V, F) footprint (4.3 GB at scale 23 F=128 —
+        # observed HBM OOM with the out buffer and layout resident)
+        lo = k * RR
+        take = min(RR, max(n - lo, 0))
+        cols = n_chunks * LANES
+        if take == RR and f == cols:
+            return jax.lax.slice_in_dim(xf, lo, lo + RR)
+        blk = jnp.zeros((RR, cols), jnp.float32)
+        if take:
+            blk = blk.at[:take, :f].set(
+                jax.lax.slice_in_dim(xf, lo, lo + take)
+            )
+        return blk
+
     out = jnp.zeros(
         ((layout.n_windows + 1) * W_WIN, n_chunks * LANES), jnp.float32
     )
@@ -463,7 +478,7 @@ def row_spmm(
             jax.lax.slice_in_dim(layout.srcs, off, off + seg),
             jax.lax.slice_in_dim(layout.wts, off, off + seg),
             jax.lax.slice_in_dim(layout.dstl, off, off + seg),
-            jax.lax.slice_in_dim(xpad, k * RR, (k + 1) * RR),
+            range_table(k),
             out,
             n_chunks,
             interpret,
