@@ -138,8 +138,8 @@ class KeyedLayout:
     # K-C chunk gather + keyed reduce. chunk_src entries are coalesced
     # run descriptors: src chunk (bits 0..27) | log2 chunk count
     # (28..30); the dst chunk slot is the running size cursor
-    chunk_src: jax.Array  # (n_steps,) i32 DMA descriptors
-    chunk_off: jax.Array  # (n_parts + 1,) i32 per-part descriptor range
+    chunk_src: jax.Array  # (n_parts + 1, DMAX) i32 DMA descriptors
+    chunk_off: jax.Array  # (n_parts + 1,) i32 descriptors per part
     route2_lo: jax.Array  # (n_parts*part_rows, 128) i32 stages 0..31
     route2_hi: jax.Array  # (n_parts*part_rows, 128) i32 + spare bits
     winof: jax.Array  # (n_parts,) i32 output window block per part
@@ -476,8 +476,7 @@ def build_keyed_layout(
         else np.zeros(0, np.int64)
     )
     runs_sorted_part = run_part[po] if len(run_lens) else np.zeros(0)
-    chunk_src_list: list = []
-    chunk_off = np.zeros(n_parts + 1, dtype=np.int64)
+    desc_lists: list = []  # per-part descriptor lists
     route_jobs = []
     hi_extra = np.zeros((n_parts * PR, LANES), dtype=np.uint32)
     minw_np = (
@@ -512,7 +511,7 @@ def build_keyed_layout(
         # space and the part input, so one descriptor covers 2^k chunks
         # (src chunk 18b | dst slot 9b << 18 | k 3b << 27) — ~2 issues
         # per run instead of one per chunk.
-        chunk_off[pi] = len(chunk_src_list)
+        descs: list = []
         for rj in rlist:
             s = run_slab[rj]
             p0 = run_pos0[rj]
@@ -525,9 +524,10 @@ def build_keyed_layout(
             while left:
                 k = min(left.bit_length() - 1, 7)
                 assert cur < (1 << 28)
-                chunk_src_list.append(cur | (k << 28))
+                descs.append(cur | (k << 28))
                 cur += 1 << k
                 left -= 1 << k
+        desc_lists.append(descs)
         cks_a = np.asarray(cks, dtype=np.int64)
         n_in = len(cks_a) * chunk_e
         if n_in:
@@ -593,11 +593,18 @@ def build_keyed_layout(
                 | ((rbits[0].astype(np.uint32) & 0x7FFFFFF) << 2)[:, None]
             )
         route_jobs.append((pi, perm))
-    chunk_off[n_parts] = len(chunk_src_list)
-    n_steps = max(len(chunk_src_list), 1)
-    chunk_src_np = np.asarray(
-        chunk_src_list if chunk_src_list else [0], dtype=np.int32
-    )
+    # descriptors as a (n_parts + 1, DMAX) row-blocked array: rows
+    # stream to SMEM per grid step (no scalar-prefetch capacity limit —
+    # flat arrays hit the ~1 MB SMEM wall at scale 24's ~200K runs);
+    # +1 pad row so the next-part prefetch stream stays in bounds.
+    n_desc = sum(len(d) for d in desc_lists)
+    dmax = max(-(-max((len(d) for d in desc_lists), default=1) // 8) * 8, 8)
+    desc2d = np.zeros((n_parts + 1, dmax), dtype=np.int32)
+    dcount = np.zeros(n_parts + 1, dtype=np.int32)
+    for pi, dl in enumerate(desc_lists):
+        desc2d[pi, : len(dl)] = dl
+        dcount[pi] = len(dl)
+    n_steps = max(n_desc, 1)
 
     # ---- Benes route words (C++ routing, thread pool) -------------------
     r2_lo = np.zeros((n_parts * PR, LANES), np.int32)
@@ -648,7 +655,7 @@ def build_keyed_layout(
         heavy_rows=int(heavy_base[-1]),
         total_rows=total_rows,
         part_pad_rows=n_parts * PR - total_rows,
-        chunks=len(chunk_src_list),
+        chunks=n_desc,
         runs=int(len(run_lens)),
         slabs=n_slabs,
     )
@@ -664,8 +671,8 @@ def build_keyed_layout(
         ),
         route1_lo=jnp.asarray(r1_lo),
         route1_hi=jnp.asarray(r1_hi),
-        chunk_src=jnp.asarray(chunk_src_np),
-        chunk_off=jnp.asarray(chunk_off.astype(np.int32)),
+        chunk_src=jnp.asarray(desc2d),
+        chunk_off=jnp.asarray(dcount),
         route2_lo=jnp.asarray(r2_lo),
         route2_hi=jnp.asarray(r2_hi),
         winof=jnp.asarray(winof),
@@ -714,20 +721,19 @@ def _apply_row_benes(x, words, shift, rows):
     return x
 
 
-def _dma_gather_runs(cs_ref, co_ref, b_ref, vbuf, sems, CH, kmax):
-    """Issue/wait for the coalesced run descriptors: descriptor d copies
-    2^k chunks from slab space chunk (d & 0x3FFFF) to part-input chunk
-    slot ((d >> 18) & 0x1FF) of vbuf[slot]. kmax bounds the size-class
-    branch set (a 2^k-chunk copy must fit the part block)."""
+def _dma_gather_runs(b_ref, vbuf, sems, CH, kmax):
+    """Issue/wait for coalesced run descriptors read from a per-part
+    (1, DMAX) SMEM row: descriptor d copies 2^k chunks (k = bits
+    28..30) from slab-space chunk (bits 0..27); the destination chunk
+    slot is the running size cursor. kmax bounds the size-class branch
+    set (a 2^k-chunk copy must fit the part block)."""
     import jax.lax as lax
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    def issue(p, slot):
-        base = co_ref[p]
-
+    def issue(dref, n, slot):
         def body(i, dst):
-            d = cs_ref[base + i]
+            d = dref[0, i]
             src = d & 0xFFFFFFF
             k = (d >> 28) & 0x7
 
@@ -745,11 +751,11 @@ def _dma_gather_runs(cs_ref, co_ref, b_ref, vbuf, sems, CH, kmax):
             lax.switch(k, [mk(kk) for kk in range(kmax + 1)], 0)
             return dst + (1 << k)
 
-        lax.fori_loop(0, co_ref[p + 1] - base, body, 0)
+        lax.fori_loop(0, n, body, 0)
 
-    def wait(p, slot):
+    def wait(dref, n, slot):
         def body(i, _):
-            d = cs_ref[co_ref[p] + i]
+            d = dref[0, i]
             k = (d >> 28) & 0x7
 
             def mk(kk):
@@ -766,9 +772,45 @@ def _dma_gather_runs(cs_ref, co_ref, b_ref, vbuf, sems, CH, kmax):
             lax.switch(k, [mk(kk) for kk in range(kmax + 1)], 0)
             return 0
 
-        lax.fori_loop(0, co_ref[p + 1] - co_ref[p], body, 0)
+        lax.fori_loop(0, n, body, 0)
 
     return issue, wait
+
+
+def _keyed_grid_spec(layout, pl, pltpu, extra_vmem_blocks=0):
+    """Shared grid spec of the K-C kernels: scalar prefetch (dcount,
+    winof, partoff, first_flag), SMEM descriptor rows for part t and
+    t+1, VMEM route blocks (+ optional extra (PR,128) streams), the
+    (w_out, 128) output block by part window."""
+    PR = layout.cfg.part_rows
+    WO = layout.cfg.w_out
+    dmax = layout.chunk_src.shape[1]
+    blk = pl.BlockSpec(
+        (PR, LANES), lambda t, *p: (t, 0), memory_space=pltpu.VMEM
+    )
+    return pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(layout.n_parts,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # binned (DMA source)
+            pl.BlockSpec(
+                (1, dmax), lambda t, *p: (t, 0), memory_space=pltpu.SMEM
+            ),
+            pl.BlockSpec(
+                (1, dmax), lambda t, *p: (t + 1, 0),
+                memory_space=pltpu.SMEM,
+            ),
+        ]
+        + [blk] * (2 + extra_vmem_blocks),
+        out_specs=pl.BlockSpec(
+            (WO, LANES), lambda t, *p: (p[1][t], 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, PR, LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
 
 
 def _keyed_reduce_call(layout, binned, interpret):
@@ -784,22 +826,20 @@ def _keyed_reduce_call(layout, binned, interpret):
     KMAX = min(7, (PR // CH).bit_length() - 1)
     TR = min(PR, 1024)  # row tile of the one-hot matmul
 
-    def kern(cs_ref, co_ref, wf_ref, po_ref, ff_ref, b_ref, lo_ref,
-             hi_ref, o_ref, vbuf, sems):
+    def kern(cnt_ref, wf_ref, po_ref, ff_ref, b_ref, dc_ref, dn_ref,
+             lo_ref, hi_ref, o_ref, vbuf, sems):
         t = pl.program_id(0)
-        issue, wait = _dma_gather_runs(
-            cs_ref, co_ref, b_ref, vbuf, sems, CH, KMAX
-        )
+        issue, wait = _dma_gather_runs(b_ref, vbuf, sems, CH, KMAX)
 
         @pl.when(t == 0)
         def _():
-            issue(0, 0)
+            issue(dc_ref, cnt_ref[0], 0)
 
         @pl.when(t + 1 < n_parts)
         def _():
-            issue(t + 1, (t + 1) % 2)
+            issue(dn_ref, cnt_ref[t + 1], (t + 1) % 2)
 
-        wait(t, t % 2)
+        wait(dc_ref, cnt_ref[t], t % 2)
         v = vbuf[t % 2]
         x = _apply_benes_block(v, lo_ref[:], hi_ref[:], PR)
         real = ((hi_ref[:] >> 12) & 1) > 0
@@ -831,29 +871,9 @@ def _keyed_reduce_call(layout, binned, interpret):
         cur = o_ref[pl.ds(off, WP), :]
         o_ref[pl.ds(off, WP), :] = cur + acc
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
-        grid=(n_parts,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # binned (DMA-gathered)
-            pl.BlockSpec(
-                (PR, LANES), lambda t, *p: (t, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (PR, LANES), lambda t, *p: (t, 0), memory_space=pltpu.VMEM
-            ),
-        ],
-        out_specs=pl.BlockSpec(
-            (WO, LANES), lambda t, *p: (p[2][t], 0), memory_space=pltpu.VMEM
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((2, PR, LANES), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-    )
     return pl.pallas_call(
         kern,
-        grid_spec=grid_spec,
+        grid_spec=_keyed_grid_spec(layout, pl, pltpu),
         out_shape=_out_struct(
             (layout.n_out_blocks * WO, LANES), jnp.float32, binned,
             layout.winof,
@@ -863,12 +883,13 @@ def _keyed_reduce_call(layout, binned, interpret):
         else pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(
-        layout.chunk_src,
         layout.chunk_off,
         layout.winof,
         layout.partoff,
         layout.first_flag,
         binned,
+        layout.chunk_src,
+        layout.chunk_src,
         layout.route2_lo,
         layout.route2_hi,
     )
@@ -876,8 +897,8 @@ def _keyed_reduce_call(layout, binned, interpret):
 
 def _keyed_min_call(layout, binned, interpret):
     """K-C min: part Benes + segmented min scan + exact row-Benes mover
-    (group-end rows land at their output rows; bit 31 marks rows that
-    received one)."""
+    (group-end rows land at their output rows; minw bit 1 marks rows
+    that received one)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -891,22 +912,20 @@ def _keyed_min_call(layout, binned, interpret):
     KMAX = min(7, (PR // CH).bit_length() - 1)
     INF = float(np.inf)
 
-    def kern(cs_ref, co_ref, wf_ref, po_ref, ff_ref, b_ref, lo_ref,
-             hi_ref, mw_ref, o_ref, vbuf, sems):
+    def kern(cnt_ref, wf_ref, po_ref, ff_ref, b_ref, dc_ref, dn_ref,
+             lo_ref, hi_ref, mw_ref, o_ref, vbuf, sems):
         t = pl.program_id(0)
-        issue, wait = _dma_gather_runs(
-            cs_ref, co_ref, b_ref, vbuf, sems, CH, KMAX
-        )
+        issue, wait = _dma_gather_runs(b_ref, vbuf, sems, CH, KMAX)
 
         @pl.when(t == 0)
         def _():
-            issue(0, 0)
+            issue(dc_ref, cnt_ref[0], 0)
 
         @pl.when(t + 1 < n_parts)
         def _():
-            issue(t + 1, (t + 1) % 2)
+            issue(dn_ref, cnt_ref[t + 1], (t + 1) % 2)
 
-        wait(t, t % 2)
+        wait(dc_ref, cnt_ref[t], t % 2)
         v = vbuf[t % 2]
         x = _apply_benes_block(v, lo_ref[:], hi_ref[:], PR)
         real = ((hi_ref[:] >> 12) & 1) > 0
@@ -925,32 +944,9 @@ def _keyed_min_call(layout, binned, interpret):
         cur = o_ref[pl.ds(off, WP), :]
         o_ref[pl.ds(off, WP), :] = jnp.minimum(cur, placed[:WP, :])
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
-        grid=(n_parts,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(
-                (PR, LANES), lambda t, *p: (t, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (PR, LANES), lambda t, *p: (t, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (PR, LANES), lambda t, *p: (t, 0), memory_space=pltpu.VMEM
-            ),
-        ],
-        out_specs=pl.BlockSpec(
-            (WO, LANES), lambda t, *p: (p[2][t], 0), memory_space=pltpu.VMEM
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((2, PR, LANES), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-    )
     return pl.pallas_call(
         kern,
-        grid_spec=grid_spec,
+        grid_spec=_keyed_grid_spec(layout, pl, pltpu, extra_vmem_blocks=1),
         out_shape=_out_struct(
             (layout.n_out_blocks * WO, LANES), jnp.float32, binned,
             layout.winof,
@@ -960,12 +956,13 @@ def _keyed_min_call(layout, binned, interpret):
         else pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(
-        layout.chunk_src,
         layout.chunk_off,
         layout.winof,
         layout.partoff,
         layout.first_flag,
         binned,
+        layout.chunk_src,
+        layout.chunk_src,
         layout.route2_lo,
         layout.route2_hi,
         layout.minw,
@@ -1024,7 +1021,7 @@ def _keyed_cache_key(dsts, srcs, weights, num_vertices, cfg, pad_weight,
     import hashlib
 
     h = hashlib.blake2b(digest_size=16)
-    h.update(b"keyed-v4")  # v4: CH=4, cursor-addressed run descriptors
+    h.update(b"keyed-v5")  # v5: (n_parts+1, DMAX) SMEM descriptor rows
     h.update(np.int64(num_vertices).tobytes())
     if num_src_vertices is not None:
         h.update(np.int64(num_src_vertices).tobytes())
