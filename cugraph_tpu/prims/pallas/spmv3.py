@@ -456,18 +456,24 @@ def build_keyed_layout(
     pos_in_slab = (
         run_pos0[run_id_of] + rank_in_run if e else np.zeros(0, np.int64)
     )
-    pi1 = np.full(slot_rows * LANES, -1, dtype=np.int64)
+    assert slot_rows * LANES < (1 << 31) and e < (1 << 31)
+    pi1 = np.full(slot_rows * LANES, -1, dtype=np.int32)
     if e:
-        pi1[slot_of_edge[so]] = run_slab[run_id_of] * slab_e + pos_in_slab
+        pi1[slot_of_edge[so]] = (
+            run_slab[run_id_of] * slab_e + pos_in_slab
+        ).astype(np.int32)
     neg = pi1 < 0
     used = np.zeros(slot_rows * LANES, dtype=bool)
     used[pi1[~neg]] = True
     free_slots = np.nonzero(neg)[0]
     empty_pos = np.nonzero(~used)[0]
-    pi1[free_slots] = empty_pos[: len(free_slots)]
-    pos_edge = np.full(slot_rows * LANES, -1, dtype=np.int64)
+    pi1[free_slots] = empty_pos[: len(free_slots)].astype(np.int32)
+    del neg, used, free_slots, empty_pos
+    pos_edge = np.full(slot_rows * LANES, -1, dtype=np.int32)
     if e:
-        pos_edge[pi1[slot_of_edge]] = np.arange(e, dtype=np.int64)
+        pos_edge[pi1[slot_of_edge]] = np.arange(e, dtype=np.int32)
+    # big edge-order temporaries are done (scale 24 holds ~2.1 GB each)
+    del so, comp, comp_s, rank_in_run, run_first, run_id_of, pos_in_slab
 
     # ---- chunk lists + per-part permutations + spare-bit words ----------
     po = (
@@ -637,6 +643,8 @@ def build_keyed_layout(
             if packed.shape[0] > 1:
                 r1_hi[s * SR : (s + 1) * SR] = packed[1].reshape(SR, LANES)
 
+    del pos_edge, edge_by_row, grow, glane, part_of_edge, slab_of_edge
+    del slot_of_edge, row_of_edge, lane_of_edge, idx_of_edge, final_row
     winof = np.asarray([b for (_a, _bnd, b, _o) in parts], dtype=np.int32)
     partoff = np.asarray([o for (_a, _bnd, _b, o) in parts], dtype=np.int32)
     first_flag = np.ones(n_parts, dtype=np.int32)
