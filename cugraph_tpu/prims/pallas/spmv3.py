@@ -604,7 +604,11 @@ def build_keyed_layout(
     # flat arrays hit the ~1 MB SMEM wall at scale 24's ~200K runs);
     # +1 pad row so the next-part prefetch stream stays in bounds.
     n_desc = sum(len(d) for d in desc_lists)
-    dmax = max(-(-max((len(d) for d in desc_lists), default=1) // 8) * 8, 8)
+    # Mosaic: block last dim must be a multiple of 128 (SMEM too)
+    dmax = max(
+        -(-max((len(d) for d in desc_lists), default=1) // 128) * 128,
+        128,
+    )
     desc2d = np.zeros((n_parts + 1, dmax), dtype=np.int32)
     dcount = np.zeros(n_parts + 1, dtype=np.int32)
     for pi, dl in enumerate(desc_lists):
@@ -1029,7 +1033,7 @@ def _keyed_cache_key(dsts, srcs, weights, num_vertices, cfg, pad_weight,
     import hashlib
 
     h = hashlib.blake2b(digest_size=16)
-    h.update(b"keyed-v5")  # v5: (n_parts+1, DMAX) SMEM descriptor rows
+    h.update(b"keyed-v6")  # v6: DMAX padded to 128 (Mosaic blocks)
     h.update(np.int64(num_vertices).tobytes())
     if num_src_vertices is not None:
         h.update(np.int64(num_src_vertices).tobytes())
