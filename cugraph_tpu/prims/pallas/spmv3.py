@@ -609,7 +609,8 @@ def build_keyed_layout(
         -(-max((len(d) for d in desc_lists), default=1) // 128) * 128,
         128,
     )
-    desc2d = np.zeros((n_parts + 1, dmax), dtype=np.int32)
+    drows = -(-(n_parts + 8) // 8) * 8
+    desc2d = np.zeros((drows, dmax), dtype=np.int32)
     dcount = np.zeros(n_parts + 1, dtype=np.int32)
     for pi, dl in enumerate(desc_lists):
         desc2d[pi, : len(dl)] = dl
@@ -743,9 +744,9 @@ def _dma_gather_runs(b_ref, vbuf, sems, CH, kmax):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    def issue(dref, n, slot):
+    def issue(dref, row, n, slot):
         def body(i, dst):
-            d = dref[0, i]
+            d = dref[row, i]
             src = d & 0xFFFFFFF
             k = (d >> 28) & 0x7
 
@@ -765,9 +766,9 @@ def _dma_gather_runs(b_ref, vbuf, sems, CH, kmax):
 
         lax.fori_loop(0, n, body, 0)
 
-    def wait(dref, n, slot):
+    def wait(dref, row, n, slot):
         def body(i, _):
-            d = dref[0, i]
+            d = dref[row, i]
             k = (d >> 28) & 0x7
 
             def mk(kk):
@@ -805,11 +806,14 @@ def _keyed_grid_spec(layout, pl, pltpu, extra_vmem_blocks=0):
         grid=(layout.n_parts,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),  # binned (DMA source)
+            # (8, dmax) rows: Mosaic needs 8-divisible sublane blocks;
+            # the kernel picks row t % 8 / (t+1) % 8
             pl.BlockSpec(
-                (1, dmax), lambda t, *p: (t, 0), memory_space=pltpu.SMEM
+                (8, dmax), lambda t, *p: (t // 8, 0),
+                memory_space=pltpu.SMEM,
             ),
             pl.BlockSpec(
-                (1, dmax), lambda t, *p: (t + 1, 0),
+                (8, dmax), lambda t, *p: ((t + 1) // 8, 0),
                 memory_space=pltpu.SMEM,
             ),
         ]
@@ -845,13 +849,13 @@ def _keyed_reduce_call(layout, binned, interpret):
 
         @pl.when(t == 0)
         def _():
-            issue(dc_ref, cnt_ref[0], 0)
+            issue(dc_ref, 0, cnt_ref[0], 0)
 
         @pl.when(t + 1 < n_parts)
         def _():
-            issue(dn_ref, cnt_ref[t + 1], (t + 1) % 2)
+            issue(dn_ref, (t + 1) % 8, cnt_ref[t + 1], (t + 1) % 2)
 
-        wait(dc_ref, cnt_ref[t], t % 2)
+        wait(dc_ref, t % 8, cnt_ref[t], t % 2)
         v = vbuf[t % 2]
         x = _apply_benes_block(v, lo_ref[:], hi_ref[:], PR)
         real = ((hi_ref[:] >> 12) & 1) > 0
@@ -931,13 +935,13 @@ def _keyed_min_call(layout, binned, interpret):
 
         @pl.when(t == 0)
         def _():
-            issue(dc_ref, cnt_ref[0], 0)
+            issue(dc_ref, 0, cnt_ref[0], 0)
 
         @pl.when(t + 1 < n_parts)
         def _():
-            issue(dn_ref, cnt_ref[t + 1], (t + 1) % 2)
+            issue(dn_ref, (t + 1) % 8, cnt_ref[t + 1], (t + 1) % 2)
 
-        wait(dc_ref, cnt_ref[t], t % 2)
+        wait(dc_ref, t % 8, cnt_ref[t], t % 2)
         v = vbuf[t % 2]
         x = _apply_benes_block(v, lo_ref[:], hi_ref[:], PR)
         real = ((hi_ref[:] >> 12) & 1) > 0
@@ -1033,7 +1037,7 @@ def _keyed_cache_key(dsts, srcs, weights, num_vertices, cfg, pad_weight,
     import hashlib
 
     h = hashlib.blake2b(digest_size=16)
-    h.update(b"keyed-v6")  # v6: DMAX padded to 128 (Mosaic blocks)
+    h.update(b"keyed-v7")  # v7: (8, DMAX) SMEM descriptor blocks
     h.update(np.int64(num_vertices).tobytes())
     if num_src_vertices is not None:
         h.update(np.int64(num_src_vertices).tobytes())
