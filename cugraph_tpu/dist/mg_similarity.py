@@ -233,32 +233,121 @@ def mg_overlap(mesh, mgg, pairs, use_weight: bool = False):
     return mg_similarity(mesh, mgg, pairs, "overlap", use_weight=use_weight)
 
 
+_ORIENT_CACHE: dict = {}
+
+
+def _oriented_dcsr(mesh: Mesh, mgg: MGGraph):
+    """Per-device ORIENTED src adjacency: keep local directed edges with
+    dst_global < src_global. Under the degree-descending renumbering
+    this orients every undirected edge toward its higher-degree
+    endpoint, so the max oriented out-degree — the intersection tile
+    width k — is bounded by sqrt(2E) instead of the max degree
+    (25227 -> ~3900 measured at RMAT scale 18). Any total order is
+    correct; degree order gives the bound. The host pass runs once per
+    MGGraph and is cached.
+
+    Returns (nzd, off, dsts, k_o): (R, C, pad)-sharded arrays in the
+    src_nzd/src_csr format (colspan-local sources, GLOBAL sorted dsts)."""
+    key = id(mgg.srcs)
+    hit = _ORIENT_CACHE.get(key)
+    if hit is not None and hit[0] is mgg.srcs:
+        return hit[1]
+    r, c, vp = mgg.rows, mgg.cols, mgg.vp
+    span = r * vp
+    dev_at = {}
+    for i in range(r):
+        for j in range(c):
+            dev_at[mesh.devices[i][j]] = (i, j)
+    per_dev = {}
+    src_shards = {s.device: s for s in mgg.srcs.addressable_shards}
+    dst_shards = {s.device: s for s in mgg.dsts.addressable_shards}
+    max_nz, max_d, k_o = 1, 1, 1
+    for dev, ssh in src_shards.items():
+        i, j = dev_at[dev]
+        sb = np.asarray(ssh.data)[0, 0]  # (C, R?, g_pad) local src ids
+        db = np.asarray(dst_shards[dev].data)[0, 0]
+        b = np.arange(sb.shape[0], dtype=np.int64).reshape(
+            (-1,) + (1,) * (sb.ndim - 1)
+        )
+        src_g = sb.astype(np.int64) + j * span
+        dst_g = db.astype(np.int64) + (b * r + i) * vp
+        keep = (db < vp) & (dst_g < src_g)
+        s_loc = sb[keep].astype(np.int64)  # colspan-local
+        d_glo = dst_g[keep]
+        order = np.lexsort((d_glo, s_loc))
+        s_loc, d_glo = s_loc[order], d_glo[order]
+        first = np.ones(len(s_loc), dtype=bool)
+        first[1:] = s_loc[1:] != s_loc[:-1]
+        nzd = s_loc[first]
+        starts = np.nonzero(first)[0]
+        off = np.append(starts, len(s_loc))
+        per_dev[dev] = (nzd, off, d_glo)
+        max_nz = max(max_nz, len(nzd))
+        max_d = max(max_d, len(d_glo))
+        if len(nzd):
+            k_o = max(k_o, int(np.diff(off).max()))
+    from .mg_sorted import _allgather_max
+
+    gm = _allgather_max(np.asarray([max_nz, max_d, k_o], np.int64))
+    nz_pad = -(-int(gm[0]) // 128) * 128
+    d_pad = -(-int(gm[1]) // 128) * 128
+    k_o = int(gm[2])
+    nzd_np = np.full((r, c, nz_pad), span, np.int32)
+    off_np = np.zeros((r, c, nz_pad + 1), np.int32)
+    dst_np = np.full((r, c, d_pad), -1, np.int32)
+    for dev, (nzd, off, d_glo) in per_dev.items():
+        i, j = dev_at[dev]
+        nzd_np[i, j, : len(nzd)] = nzd
+        off_np[i, j, : len(off)] = off
+        off_np[i, j, len(off) :] = off[-1] if len(off) else 0
+        dst_np[i, j, : len(d_glo)] = d_glo
+    shd = mgg.src_nzd.sharding
+    out = (
+        jax.device_put(jnp.asarray(nzd_np), shd),
+        jax.device_put(jnp.asarray(off_np), shd),
+        jax.device_put(jnp.asarray(dst_np), shd),
+        k_o,
+    )
+    if len(_ORIENT_CACHE) > 4:
+        _ORIENT_CACHE.clear()
+    _ORIENT_CACHE[key] = (mgg.srcs, out)
+    return out
+
+
 def mg_triangle_count(
-    mesh: Mesh, mgg: MGGraph, batch_size: int = 4096
+    mesh: Mesh, mgg: MGGraph, batch_size: Optional[int] = None
 ) -> np.ndarray:
     """Distributed per-vertex triangle counts.
 
-    Each device enumerates its LOCAL oriented edges (src < dst picks
-    exactly one of the two stored directions of every undirected edge,
-    and each directed edge lives on exactly one device, so the oriented
-    edge set partitions across the mesh); batches of per-device edges are
-    all_gathered into a replicated pair list and intersected against the
-    distributed adjacency inside ONE jitted fori_loop — no controller
-    decompress, no host batch loop (VERDICT r3 #5; ref
-    nbr_intersection.cuh:1352,
+    Each device enumerates its LOCAL oriented edges (dst_global <
+    src_global picks exactly one of the two stored directions of every
+    undirected edge, oriented toward the HIGHER-degree endpoint under
+    the degree-descending renumbering, and each directed edge lives on
+    exactly one device — the oriented edge set partitions across the
+    mesh); batches of per-device edges are all_gathered into a
+    replicated pair list and intersected against the distributed
+    ORIENTED adjacency inside ONE jitted fori_loop — no controller
+    decompress, no host batch loop (ref nbr_intersection.cuh:1352,
     transform_reduce_dst_nbr_intersection_of_e_endpoints_by_v.cuh).
-    Counts accumulate into owner-sharded (vp,) arrays: every triangle
-    {a,b,c} is found once per unordered edge and each finding increments
-    all 3 corners, so corner sums are exactly 3x the triangle count.
+    The oriented intersection finds each triangle {a>b>c} exactly once
+    (at pair (a,b) with member c) and increments all three corners, so
+    corner sums ARE the per-vertex counts; the tile width k is the max
+    oriented out-degree <= sqrt(2E) instead of the max degree (the
+    reference's degree-aware chunking analog).
 
-    batch_size: GLOBAL pairs per round (split across devices). Returns a
-    host (V,) array (one V-sized pull of the result only)."""
+    batch_size: GLOBAL pairs per round (default: sized so the
+    (batch, n_dev * k) member tile stays ~256 MB). Returns a host (V,)
+    array (one V-sized pull of the result only)."""
     expects(mgg.is_symmetric, "triangle_count requires a symmetric graph")
     r, c, vp = mgg.rows, mgg.cols, mgg.vp
     n_dev = r * c
-    k = _max_local_degree(mgg)
+    o_nzd, o_off, o_dsts, k = _oriented_dcsr(mesh, mgg)
     span = r * vp
     slots = c * r * mgg.g_pad  # local edge slots per device (uniform)
+    if batch_size is None:
+        batch_size = min(
+            max(((1 << 26) // max(k * n_dev, 1)) // 128 * 128, 128), 1 << 16
+        )
     bper = min(max(batch_size // n_dev, 1), slots)  # per-device pairs/round
     rounds = -(-slots // bper)
 
@@ -281,7 +370,7 @@ def mg_triangle_count(
             from . import mg_prims
 
             src_g, dst_g = mg_prims._global_edge_ids(srcs_l, dsts_l, vp)
-            ok = (dsts_l < vp) & (src_g < dst_g)
+            ok = (dsts_l < vp) & (dst_g < src_g)  # oriented edge u -> v
             pad = rounds * bper - slots
             u_all = jnp.pad(jnp.where(ok, src_g, -1).reshape(-1), (0, pad),
                             constant_values=-1)
@@ -325,13 +414,13 @@ def mg_triangle_count(
 
             counts0 = mg_algos._pvary(jnp.zeros(vp, jnp.int32))
             counts = jax.lax.fori_loop(0, rounds, round_body, counts0)
-            return mg_algos._wrap(counts // 3)
+            # oriented enumeration finds each triangle exactly once
+            return mg_algos._wrap(counts)
 
         return run(srcs, dsts, nzd, nzd_off, csr_dsts)
 
     counts = run_jit(
-        k, bper, rounds, mgg.srcs, mgg.dsts,
-        mgg.src_nzd, mgg.src_nzd_offsets, mgg.src_csr_dsts,
+        k, bper, rounds, mgg.srcs, mgg.dsts, o_nzd, o_off, o_dsts,
     )
     return np.asarray(unshard_vertex_values(mgg, counts)).astype(np.int64)
 
