@@ -21,7 +21,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--scale", type=int, default=18)
     ap.add_argument("--edgefactor", type=int, default=16)
-    ap.add_argument("--batch", type=int, default=4096)
+    ap.add_argument("--batch", type=int, default=None)
     ap.add_argument("--sg", action="store_true", help="also time SG")
     args = ap.parse_args()
 
@@ -35,7 +35,7 @@ def main():
     import cugraph_tpu as cg
     from cugraph_tpu.dist import distribute_graph, make_mesh
     from cugraph_tpu.dist.mg_similarity import (
-        _max_local_degree,
+        _oriented_dcsr,
         mg_triangle_count,
     )
 
@@ -52,14 +52,15 @@ def main():
                          symmetrize=True)
     mesh = make_mesh((1, 1), jax.devices()[:1])
     mgg = distribute_graph(mesh, g)
-    k = _max_local_degree(mgg)
+    *_o, k = _oriented_dcsr(mesh, mgg)
     slots = mgg.rows * mgg.cols * mgg.g_pad
-    rounds = -(-slots // max(args.batch, 1))
+    batch = args.batch or min(max(((1 << 26) // max(k, 1)) // 128 * 128, 128), 1 << 16)
+    rounds = -(-slots // max(batch, 1))
     print(
         f"scale {args.scale}: V={g.num_vertices} E={g.num_edges} "
-        f"max_local_degree k={k} slots={slots} rounds~{rounds} "
-        f"member buffer {args.batch}x{k} = "
-        f"{args.batch * k * 4 / 1e6:.0f} MB/round",
+        f"oriented k={k} (<= sqrt(2E)={int((2*g.num_edges)**0.5)}) "
+        f"slots={slots} batch={batch} rounds~{rounds} "
+        f"member tile {batch}x{k} = {batch * k * 4 / 1e6:.0f} MB",
         flush=True,
     )
     t0 = time.perf_counter()
@@ -75,11 +76,26 @@ def main():
     assert np.array_equal(counts, counts2)
 
     if args.sg:
-        t0 = time.perf_counter()
-        sg_counts = np.asarray(cg.triangle_count(g))
-        t_sg = time.perf_counter() - t0
-        print(f"SG triangle_count: {t_sg:.1f}s; equal={np.array_equal(sg_counts, counts)}",
-              flush=True)
+        # host scipy oracle (the on-chip SG path is its own benchmark;
+        # running it after the MG run has crashed the TPU worker)
+        import scipy.sparse as sp
+
+        adj = g.csr()
+        ee = adj.num_edges
+        s_ = np.asarray(adj.majors)[:ee]
+        d_ = np.asarray(adj.minors)[:ee]
+        A = sp.csr_matrix(
+            (np.ones(ee), (s_, d_)), shape=(g.num_vertices,) * 2
+        )
+        A.setdiag(0)
+        A.eliminate_zeros()
+        A = ((A + A.T) > 0).astype(np.int64)
+        oracle_total = int((A @ A).multiply(A).sum()) // 6
+        print(
+            f"scipy oracle total={oracle_total} equal="
+            f"{oracle_total == total}",
+            flush=True,
+        )
 
 
 if __name__ == "__main__":
