@@ -1513,12 +1513,24 @@ def _expand_call(layout, table, interpret, reduce="sum"):
     TA = min(512, layout.cfg.slab_rows)
     TV = TA // 8
     slot_rows = layout.idx.shape[0]
+    n_vregs = layout.prow.shape[0]
+    # prow rides SMEM BLOCKS, not scalar prefetch: a flat prefetch is
+    # n_vregs*4 bytes and exceeds the 1 MB SMEM at scale 24 (2.31M slot
+    # rows = 288K vregs = 1.15 MB, observed compile failure). Rows of
+    # 128 vregs, (8, 128) blocks; step i reads its TV vregs at
+    # row ((i*TV)//128) % 8, lane offset (i*TV) % 128.
+    pr_rows = -(-n_vregs // 128) + 1
+    pr_blocks = -(-pr_rows // 8)
+    prow2d = jnp.zeros(pr_blocks * 8 * 128, layout.prow.dtype)
+    prow2d = prow2d.at[:n_vregs].set(layout.prow).reshape(-1, 128)
 
-    def kern(prow_ref, x_ref, idx_ref, w_ref, o_ref):
+    def kern(x_ref, prow_ref, idx_ref, w_ref, o_ref):
         i = pl.program_id(0)
+        row = ((i * TV) // 128) % 8
+        base = (i * TV) % 128
 
         def body(v, _):
-            pr = prow_ref[i * TV + v]
+            pr = prow_ref[row, base + v]
             page = x_ref[pl.ds(pr, 8), :]
             idxv = idx_ref[pl.ds(v * 8, 8), :]
             vals = jnp.zeros((8, LANES), jnp.float32)
@@ -1534,15 +1546,20 @@ def _expand_call(layout, table, interpret, reduce="sum"):
         jax.lax.fori_loop(0, TV, body, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=0,
         grid=(slot_rows // TA,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),  # x table resident
-            pl.BlockSpec((TA, LANES), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TA, LANES), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (8, 128),
+                lambda i: ((i * TV) // 1024, 0),
+                memory_space=pltpu.SMEM,
+            ),
+            pl.BlockSpec((TA, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TA, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (TA, LANES), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
+            (TA, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
     )
     return pl.pallas_call(
@@ -1552,7 +1569,7 @@ def _expand_call(layout, table, interpret, reduce="sum"):
             (slot_rows, LANES), jnp.float32, table, layout.idx, layout.w
         ),
         interpret=interpret,
-    )(layout.prow, table, layout.idx, layout.w)
+    )(table, prow2d, layout.idx, layout.w)
 
 
 def _slab_benes_call(layout, vals, interpret):
