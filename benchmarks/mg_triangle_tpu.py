@@ -54,7 +54,7 @@ def main():
     mgg = distribute_graph(mesh, g)
     *_o, k = _oriented_dcsr(mesh, mgg)
     slots = mgg.rows * mgg.cols * mgg.g_pad
-    batch = args.batch or min(max(((1 << 26) // max(k, 1)) // 128 * 128, 128), 1 << 16)
+    batch = args.batch or min(max(((1 << 26) // max(k, 1)) // 128 * 128, 128), 8192)
     rounds = -(-slots // max(batch, 1))
     print(
         f"scale {args.scale}: V={g.num_vertices} E={g.num_edges} "

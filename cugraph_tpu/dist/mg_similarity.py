@@ -346,7 +346,7 @@ def mg_triangle_count(
     slots = c * r * mgg.g_pad  # local edge slots per device (uniform)
     if batch_size is None:
         batch_size = min(
-            max(((1 << 26) // max(k * n_dev, 1)) // 128 * 128, 128), 1 << 16
+            max(((1 << 26) // max(k * n_dev, 1)) // 128 * 128, 128), 8192
         )
     bper = min(max(batch_size // n_dev, 1), slots)  # per-device pairs/round
     rounds = -(-slots // bper)

@@ -1562,12 +1562,19 @@ def _expand_call(layout, table, interpret, reduce="sum"):
             (TA, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
     )
+    from jax.experimental.pallas import tpu as _pltpu
+
     return pl.pallas_call(
         kern,
         grid_spec=grid_spec,
         out_shape=_out_struct(
             (slot_rows, LANES), jnp.float32, table, layout.idx, layout.w
         ),
+        # the resident x table alone is 91 MB at scale 24 (131K+hub
+        # rows); the default 16 MB scoped limit rejects it
+        compiler_params=None
+        if interpret
+        else _pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024),
         interpret=interpret,
     )(table, prow2d, layout.idx, layout.w)
 

@@ -116,11 +116,15 @@ def default_config3_for(num_vertices: int, num_edges: int,
     """Part size scales with E so per-part runs stay much longer than a
     chunk (the DMA-issue count is ~n_parts * n_slabs boundary chunks +
     E/chunk real chunks; both shrink with bigger parts)."""
-    del reduce  # min and sum share the geometry (minw carries min bits)
     e = max(num_edges, 1)
     pr = 2048
     while pr < 8192 and e > pr * LANES * 120:
         pr *= 2
+    if reduce == "min":
+        # the min kernel unrolls ~75 roll/select stages (part Benes +
+        # seg scan + row Benes) over FOUR (PR,128) block streams: PR
+        # 8192 measured 206 MB of the 128 MB VMEM on v5e
+        pr = min(pr, 4096)
     return Spmv3Config(part_rows=pr)
 
 
