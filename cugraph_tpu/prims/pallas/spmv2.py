@@ -2525,12 +2525,14 @@ def save_sorted_layout(path: str, layout: SortedLayout) -> None:
 
 def _evict_layout_cache(cdir: str, keep: str = "") -> None:
     """LRU-evict layout cache files past the byte budget
-    (CUGRAPH_TPU_CACHE_BUDGET, default 24 GB — a scale-23 range layout is
-    ~6 GB, so a scale sweep no longer fills a shared host's disk)."""
+    (CUGRAPH_TPU_CACHE_BUDGET, default 80 GB). The old 24 GB default
+    silently evicted the round's working set — a full scale-21/23/24
+    keyed sum+min sweep is ~35 GB — forcing multi-minute rebuilds that
+    looked like cache misses."""
     import os
 
     budget = int(
-        os.environ.get("CUGRAPH_TPU_CACHE_BUDGET", 24 * 1024**3)
+        os.environ.get("CUGRAPH_TPU_CACHE_BUDGET", 80 * 1024**3)
     )
     try:
         files = [
