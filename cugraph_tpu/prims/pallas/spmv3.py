@@ -900,7 +900,7 @@ def _keyed_reduce_call(layout, binned, interpret):
         ),
         compiler_params=None
         if interpret
-        else pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        else pltpu.CompilerParams(vmem_limit_bytes=112 * 1024 * 1024),
         interpret=interpret,
     )(
         layout.chunk_off,
@@ -973,7 +973,7 @@ def _keyed_min_call(layout, binned, interpret):
         ),
         compiler_params=None
         if interpret
-        else pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        else pltpu.CompilerParams(vmem_limit_bytes=112 * 1024 * 1024),
         interpret=interpret,
     )(
         layout.chunk_off,
