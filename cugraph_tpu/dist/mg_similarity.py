@@ -351,15 +351,17 @@ def mg_triangle_count(
     bper = min(max(batch_size // n_dev, 1), slots)  # per-device pairs/round
     rounds = -(-slots // bper)
 
-    @partial(jax.jit, static_argnames=("k", "bper", "rounds"))
-    def run_jit(k, bper, rounds, srcs, dsts, nzd, nzd_off, csr_dsts):
+    @partial(jax.jit, static_argnames=("k", "bper", "nrounds"))
+    def run_jit(k, bper, nrounds, r0, counts_in, srcs, dsts, nzd,
+                nzd_off, csr_dsts):
         @partial(
             shard_map,
             mesh=mesh,
-            in_specs=(mg_algos.BLOCK, mg_algos.BLOCK, BLK3, BLK3, BLK3),
+            in_specs=(P(), mg_algos.VERT, mg_algos.BLOCK, mg_algos.BLOCK,
+                      BLK3, BLK3, BLK3),
             out_specs=mg_algos.VERT,
         )
-        def run(srcs, dsts, nzd, nzd_off, csr_dsts):
+        def run(r0, counts_in, srcs, dsts, nzd, nzd_off, csr_dsts):
             srcs_l, dsts_l = srcs[0, 0], dsts[0, 0]
             nzd = nzd[0, 0]
             nzd_off = nzd_off[0, 0]
@@ -412,16 +414,33 @@ def mg_triangle_count(
                 )
                 return counts
 
-            counts0 = mg_algos._pvary(jnp.zeros(vp, jnp.int32))
-            counts = jax.lax.fori_loop(0, rounds, round_body, counts0)
+            counts0 = counts_in[0, 0]
+            counts = jax.lax.fori_loop(
+                r0, r0 + nrounds, round_body, counts0
+            )
             # oriented enumeration finds each triangle exactly once
             return mg_algos._wrap(counts)
 
-        return run(srcs, dsts, nzd, nzd_off, csr_dsts)
+        return run(r0, counts_in, srcs, dsts, nzd, nzd_off, csr_dsts)
 
-    counts = run_jit(
-        k, bper, rounds, mgg.srcs, mgg.dsts, o_nzd, o_off, o_dsts,
+    # Split the round loop across several executions: one long program
+    # over thousands of gather-heavy rounds has crashed the axon TPU
+    # worker (observed at >= 200 rounds; ~100 runs fine). Counts stay
+    # device-resident between calls.
+    per_call = 64
+    counts = jax.device_put(
+        jnp.zeros((mgg.rows, mgg.cols, vp), jnp.int32),
+        mgg.src_nzd.sharding,
     )
+    done = 0
+    while done < rounds:
+        n = min(per_call, rounds - done)
+        n = per_call if n == per_call else n  # 2 shapes max: tail + full
+        counts = run_jit(
+            k, bper, n, jnp.int32(done), counts, mgg.srcs, mgg.dsts,
+            o_nzd, o_off, o_dsts,
+        )
+        done += n
     return np.asarray(unshard_vertex_values(mgg, counts)).astype(np.int64)
 
 
