@@ -677,26 +677,49 @@ def build_keyed_layout(
         slabs=n_slabs,
     )
 
+    # Convert-and-free: each multi-GB host array is handed to the device
+    # (or the CPU backend) and its numpy buffer dropped BEFORE the next
+    # conversion — holding numpy + jnp copies of every array
+    # simultaneously peaked the scale-24 sum+min build at 82 GB RSS
+    # (docs/PERFORMANCE.md round 5 wall #6; target <= 64 GB).
+    prow_j = jnp.asarray(prow_np)
+    del prow_np
+    idx_j = jnp.asarray(idx_np)
+    del idx_np
+    w_j = jnp.asarray(w_np)
+    del w_np
+    r1_lo_j = jnp.asarray(r1_lo)
+    del r1_lo
+    r1_hi_j = jnp.asarray(r1_hi)
+    del r1_hi
+    r2_lo_j = jnp.asarray(r2_lo)
+    del r2_lo
+    r2_hi_j = jnp.asarray(r2_hi)
+    del r2_hi
+    desc2d_j = jnp.asarray(desc2d)
+    del desc2d
+    minw_j = jnp.asarray(minw_np.astype(np.int32))
+    del minw_np
     lay = KeyedLayout(
-        prow=jnp.asarray(prow_np),
-        idx=jnp.asarray(idx_np),
-        w=jnp.asarray(w_np),
+        prow=prow_j,
+        idx=idx_j,
+        w=w_j,
         hub_ids=jnp.asarray(
             hub_ids.astype(np.int32)
             if n_hub_rows
             else np.zeros(1, np.int32)
         ),
-        route1_lo=jnp.asarray(r1_lo),
-        route1_hi=jnp.asarray(r1_hi),
-        chunk_src=jnp.asarray(desc2d),
+        route1_lo=r1_lo_j,
+        route1_hi=r1_hi_j,
+        chunk_src=desc2d_j,
         chunk_off=jnp.asarray(dcount),
-        route2_lo=jnp.asarray(r2_lo),
-        route2_hi=jnp.asarray(r2_hi),
+        route2_lo=r2_lo_j,
+        route2_hi=r2_hi_j,
         winof=jnp.asarray(winof),
         partoff=jnp.asarray(partoff),
         first_flag=jnp.asarray(first_flag),
         heavy_dsts=jnp.asarray(heavy_ids.astype(np.int32)),
-        minw=jnp.asarray(minw_np.astype(np.int32)),
+        minw=minw_j,
         cfg=cfg,
         n_slabs=n_slabs,
         n_parts=n_parts,
@@ -709,7 +732,10 @@ def build_keyed_layout(
         reduce=reduce,
     )
     if weight_variants is not None:
-        return lay, [jnp.asarray(a) for a in w_sibs]
+        sibs = []
+        while w_sibs:  # convert-and-free each sibling weight stream
+            sibs.append(jnp.asarray(w_sibs.pop(0)))
+        return lay, sibs
     return lay
 
 
